@@ -1,0 +1,592 @@
+"""From-scratch PDF layout parser (SURVEY.md OP-59/OP-60).
+
+A pdfminer-style reader built only on stdlib (``re``, ``zlib``): xref-table
+walk, object graph resolution, FlateDecode, content-stream text operators
+(``BT/ET Tf Td TD TL T* Tm Tj TJ ' "``), text-run assembly, and
+reading-order sort by bbox (y desc, x asc) — the Spark-native rebuild of the
+reference's text path (/root/reference/pdf_extractor/extractors/
+text_extractor.py:33-64,123-153, whose ``get_text(sort=True)`` delegates the
+same (y, x) ordering to native MuPDF) and image xref walk
+(/root/reference/pdf_extractor/extractors/image_extractor.py:111-121).
+
+Scope: the honest PDF 1.4 dialect produced by ``tests/gen_fixtures.py`` —
+classic xref tables (not xref streams), FlateDecode or plain streams,
+Latin-1-ish simple fonts.  Out-of-dialect constructs raise ``PdfError`` so
+the pipeline can route the row to the error side-channel instead of crashing
+the task (SURVEY.md OP-32 mapping).
+
+Deterministic: pure function of the input bytes.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["parse_pdf", "PdfError"]
+
+
+class PdfError(ValueError):
+    """Raised on malformed / out-of-dialect PDF input."""
+
+
+# --------------------------------------------------------------------------
+# Object model: Python natives + these two wrappers
+# --------------------------------------------------------------------------
+class Name(str):
+    """A PDF /Name (distinct from a string value)."""
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+    def __new__(cls, num: int, gen: int):
+        return super().__new__(cls, (num, gen))
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes) -> None:
+        self.dict = d
+        self.raw = raw
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+
+
+class _Lexer:
+    """Tokenizer over a bytes buffer with a cursor."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                nl = d.find(b"\n", self.pos)
+                self.pos = len(d) if nl < 0 else nl + 1
+            else:
+                break
+
+    def peek_keyword(self, kw: bytes) -> bool:
+        self._skip_ws()
+        return self.data.startswith(kw, self.pos)
+
+    def expect(self, kw: bytes) -> None:
+        if not self.peek_keyword(kw):
+            raise PdfError(f"expected {kw!r} at {self.pos}")
+        self.pos += len(kw)
+
+    # -- value parsing ----------------------------------------------------
+    def parse_object(self):
+        self._skip_ws()
+        d = self.data
+        if self.pos >= len(d):
+            raise PdfError("eof")
+        c = d[self.pos]
+        if d.startswith(b"<<", self.pos):
+            return self._parse_dict_or_stream()
+        if c == 0x3C:  # '<' hex string
+            return self._parse_hex_string()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x5B:  # '['
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.data[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_object())
+        if d.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if d.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if d.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        m = _NUM_RE.match(d, self.pos)
+        if m:
+            # try `num gen R` indirect reference
+            save = self.pos
+            self.pos = m.end()
+            tok = m.group()
+            if b"." not in tok:
+                self._skip_ws()
+                m2 = _NUM_RE.match(d, self.pos)
+                if m2 and b"." not in m2.group():
+                    p2 = m2.end()
+                    q = p2
+                    while q < len(d) and d[q] in _WS:
+                        q += 1
+                    if q < len(d) and d[q:q + 1] == b"R" and (
+                        q + 1 >= len(d) or d[q + 1] in _WS or d[q + 1] in _DELIM
+                    ):
+                        self.pos = q + 1
+                        return Ref(int(tok), int(m2.group()))
+                self.pos = m.end()
+                return int(tok)
+            return float(tok)
+        raise PdfError(f"cannot parse object at {self.pos}: {d[self.pos:self.pos+20]!r}")
+
+    def _parse_name(self) -> Name:
+        self.pos += 1  # '/'
+        d = self.data
+        start = self.pos
+        out = bytearray()
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < len(d):  # '#xx' escape
+                out += bytes([int(d[self.pos + 1:self.pos + 3], 16)])
+                self.pos += 3
+                continue
+            out.append(c)
+            self.pos += 1
+        if self.pos == start and not out:
+            return Name("")
+        return Name(out.decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        d = self.data
+        self.pos += 1  # '('
+        depth = 1
+        out = bytearray()
+        esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12}
+        while self.pos < len(d):
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                nxt = d[self.pos + 1:self.pos + 2]
+                if nxt in esc:
+                    out.append(esc[nxt])
+                    self.pos += 2
+                elif nxt in (b"(", b")", b"\\"):
+                    out += nxt
+                    self.pos += 2
+                elif nxt.isdigit():  # octal
+                    j = self.pos + 1
+                    oct_digits = b""
+                    while j < len(d) and len(oct_digits) < 3 and d[j:j + 1].isdigit():
+                        oct_digits += d[j:j + 1]
+                        j += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                    self.pos = j
+                elif nxt == b"\n":
+                    self.pos += 2  # line continuation
+                else:
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(out)
+                out.append(c)
+                self.pos += 1
+            else:
+                out.append(c)
+                self.pos += 1
+        raise PdfError("unterminated string")
+
+    def _parse_hex_string(self) -> bytes:
+        d = self.data
+        end = d.find(b">", self.pos)
+        if end < 0:
+            raise PdfError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", d[self.pos + 1:end])
+        if len(hx) % 2:
+            hx += b"0"
+        self.pos = end + 1
+        return bytes.fromhex(hx.decode("ascii"))
+
+    def _parse_dict_or_stream(self):
+        self.pos += 2  # '<<'
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                break
+            key = self._parse_name()
+            out[key] = self.parse_object()
+        self._skip_ws()
+        if self.data.startswith(b"stream", self.pos):
+            self.pos += len(b"stream")
+            if self.data.startswith(b"\r\n", self.pos):
+                self.pos += 2
+            elif self.data.startswith(b"\n", self.pos):
+                self.pos += 1
+            return ("__stream__", out, self.pos)  # resolved by Document (needs /Length)
+        return out
+
+
+class Document:
+    """Parsed PDF: xref map + lazy object cache."""
+
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise PdfError("missing %PDF- header")
+        self.data = data
+        self.xref: dict[int, int] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._parse_xref_chain()
+
+    # -- xref -------------------------------------------------------------
+    def _parse_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        pos = int(m.group(1))
+        seen = set()
+        while pos not in seen:
+            seen.add(pos)
+            pos = self._parse_xref_section(pos)
+            if pos is None:
+                break
+
+    def _parse_xref_section(self, pos: int):
+        lx = _Lexer(self.data, pos)
+        if not lx.peek_keyword(b"xref"):
+            raise PdfError("xref streams not supported (out of dialect)")
+        lx.expect(b"xref")
+        while True:
+            lx._skip_ws()
+            if lx.peek_keyword(b"trailer"):
+                lx.expect(b"trailer")
+                trailer = lx.parse_object()
+                if not self.trailer:
+                    self.trailer = trailer
+                prev = trailer.get(Name("Prev"))
+                return int(prev) if prev is not None else None
+            m = re.match(rb"(\d+)\s+(\d+)", self.data[lx.pos:lx.pos + 40])
+            if not m:
+                raise PdfError("bad xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            lx.pos += m.end()
+            lx._skip_ws()
+            for i in range(count):
+                entry = self.data[lx.pos:lx.pos + 20]
+                em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", entry)
+                if not em:
+                    raise PdfError(f"bad xref entry at {lx.pos}")
+                if em.group(3) == b"n" and (start + i) not in self.xref:
+                    self.xref[start + i] = int(em.group(1))
+                lx.pos += 20 if entry[18:19] in (b"\r", b"\n", b" ") else em.end()
+
+    # -- object access ----------------------------------------------------
+    def resolve(self, obj):
+        while isinstance(obj, Ref):
+            obj = self.get_object(obj[0])
+        return obj
+
+    def get_object(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.xref.get(num)
+        if off is None:
+            return None
+        lx = _Lexer(self.data, off)
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[off:off + 40])
+        if not m:
+            raise PdfError(f"bad object header for {num} at {off}")
+        lx.pos = off + m.end()
+        obj = lx.parse_object()
+        if isinstance(obj, tuple) and obj and obj[0] == "__stream__":
+            _, d, data_start = obj
+            length = self.resolve(d.get(Name("Length")))
+            if not isinstance(length, int):
+                raise PdfError("stream without integer /Length")
+            raw = self.data[data_start:data_start + length]
+            obj = Stream(d, raw)
+        self._cache[num] = obj
+        return obj
+
+    def stream_data(self, st: Stream) -> bytes:
+        filt = self.resolve(st.dict.get(Name("Filter")))
+        if filt is None:
+            return st.raw
+        filters = filt if isinstance(filt, list) else [filt]
+        data = st.raw
+        for f in filters:
+            f = self.resolve(f)
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise PdfError(f"FlateDecode failed: {e}") from e
+            elif f in ("DCTDecode", "JPXDecode"):
+                # compressed image payload — pass through as-is
+                return data
+            else:
+                raise PdfError(f"unsupported filter {f}")
+        return data
+
+
+# --------------------------------------------------------------------------
+# Content-stream interpretation
+# --------------------------------------------------------------------------
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _tokenize_content(data: bytes):
+    """Yield operand/operator tokens from a content stream."""
+    lx = _Lexer(data, 0)
+    n = len(data)
+    while True:
+        lx._skip_ws()
+        if lx.pos >= n:
+            return
+        c = data[lx.pos]
+        if c == 0x2F or c in b"([<" or (0x30 <= c <= 0x39) or c in b"+-." or data.startswith(b"<<", lx.pos):
+            yield ("operand", lx.parse_object())
+        else:
+            m = _OP_RE.match(data, lx.pos)
+            if not m:
+                raise PdfError(f"bad content token at {lx.pos}: {data[lx.pos:lx.pos+10]!r}")
+            lx.pos = m.end()
+            yield ("op", m.group().decode("latin-1"))
+
+
+def _decode_pdf_string(b: bytes) -> str:
+    """Simple-font string decode.  Fixture dialect uses WinAnsi-ish Latin-1;
+    UTF-16BE with BOM also handled (PDF text-string convention)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
+
+
+class _TextState:
+    __slots__ = ("tm", "tlm", "leading", "size")
+
+    def __init__(self) -> None:
+        self.tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # a b c d e f
+        self.tlm = self.tm
+        self.leading = 0.0
+        self.size = 12.0
+
+
+def _mat_mul(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _extract_runs(content: bytes) -> list[dict]:
+    """Interpret text operators; emit runs {x, y, text, size}."""
+    runs: list[dict] = []
+    ts: _TextState | None = None
+    operands: list = []
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm_stack: list = []
+
+    def emit(s: str) -> None:
+        if ts is None or not s:
+            return
+        m = _mat_mul(ts.tm, ctm)
+        runs.append({"x": m[4], "y": m[5], "text": s, "size": ts.size})
+        # advance Tm.e by an estimated width so consecutive Tj on one line
+        # stay ordered; exact glyph metrics are out of dialect scope.
+        adv = 0.5 * ts.size * len(s)
+        a, b, c, d, e, f = ts.tm
+        ts.tm = (a, b, c, d, e + adv, f)
+
+    def next_line(tx: float, ty: float) -> None:
+        assert ts is not None
+        ts.tlm = _mat_mul((1, 0, 0, 1, tx, ty), ts.tlm)
+        ts.tm = ts.tlm
+
+    for kind, tok in _tokenize_content(content):
+        if kind == "operand":
+            operands.append(tok)
+            continue
+        op = tok
+        try:
+            if op == "BT":
+                ts = _TextState()
+            elif op == "ET":
+                ts = None
+            elif op == "q":
+                ctm_stack.append(ctm)
+            elif op == "Q":
+                ctm = ctm_stack.pop() if ctm_stack else ctm
+            elif op == "cm" and len(operands) >= 6:
+                ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            elif ts is not None:
+                if op == "Tf" and len(operands) >= 2:
+                    ts.size = float(operands[-1])
+                elif op == "Td" and len(operands) >= 2:
+                    next_line(float(operands[-2]), float(operands[-1]))
+                elif op == "TD" and len(operands) >= 2:
+                    ts.leading = -float(operands[-1])
+                    next_line(float(operands[-2]), float(operands[-1]))
+                elif op == "TL" and operands:
+                    ts.leading = float(operands[-1])
+                elif op == "Tm" and len(operands) >= 6:
+                    ts.tlm = tuple(float(v) for v in operands[-6:])
+                    ts.tm = ts.tlm
+                elif op == "T*":
+                    next_line(0.0, -ts.leading)
+                elif op == "Tj" and operands:
+                    emit(_decode_pdf_string(operands[-1]))
+                elif op == "'" and operands:
+                    next_line(0.0, -ts.leading)
+                    emit(_decode_pdf_string(operands[-1]))
+                elif op == '"' and len(operands) >= 3:
+                    next_line(0.0, -ts.leading)
+                    emit(_decode_pdf_string(operands[-1]))
+                elif op == "TJ" and operands and isinstance(operands[-1], list):
+                    parts = [
+                        _decode_pdf_string(el)
+                        for el in operands[-1]
+                        if isinstance(el, bytes)
+                    ]
+                    emit("".join(parts))
+        finally:
+            operands = []
+    return runs
+
+
+_Y_TOL = 2.0  # runs within 2 text-space units share a line
+
+
+def _assemble_text(runs: list[dict]) -> tuple[str, list[dict]]:
+    """Reading-order sort (y desc, x asc — PDF y grows upward) + line
+    grouping: the kernel-side realization of OP-48/OP-39/OP-49."""
+    if not runs:
+        return "", []
+    ordered = sorted(runs, key=lambda r: (-r["y"], r["x"]))
+    lines: list[list[dict]] = []
+    for r in ordered:
+        if lines and abs(lines[-1][0]["y"] - r["y"]) <= _Y_TOL:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    blocks: list[dict] = []
+    out_lines: list[str] = []
+    for i, line in enumerate(lines):
+        line.sort(key=lambda r: r["x"])  # OP-49 x-sort within line
+        text = "".join(r["text"] for r in line).strip()
+        if not text:  # OP-27 non-empty filter
+            continue
+        x0 = line[0]["x"]
+        y = line[0]["y"]
+        size = max(r["size"] for r in line)
+        x1 = line[-1]["x"] + 0.5 * line[-1]["size"] * len(line[-1]["text"])
+        blocks.append({
+            "block_no": len(blocks),
+            "text": text,
+            "x0": round(x0, 2), "y0": round(y, 2),
+            "x1": round(x1, 2), "y1": round(y + size, 2),
+            "block_type": 0,  # text block (reference block[6]==0, OP-26)
+        })
+        out_lines.append(text)
+    return "\n".join(out_lines), blocks
+
+
+_IMG_FMT = {"DCTDecode": "jpeg", "JPXDecode": "jp2", "FlateDecode": "raw",
+            None: "raw"}
+
+
+def _page_images(doc: Document, page: dict) -> list[dict]:
+    """Walk /Resources /XObject for /Subtype /Image — the xref-walk analogue
+    of image_extractor.py:111-121.  Size filtering (OP-25) stays relational."""
+    res = doc.resolve(page.get(Name("Resources"))) or {}
+    xobjs = doc.resolve(res.get(Name("XObject"))) or {}
+    images: list[dict] = []
+    for idx, (name, ref) in enumerate(sorted(xobjs.items())):
+        xo = doc.resolve(ref)
+        if not isinstance(xo, Stream):
+            continue
+        if doc.resolve(xo.dict.get(Name("Subtype"))) != "Image":
+            continue
+        filt = doc.resolve(xo.dict.get(Name("Filter")))
+        if isinstance(filt, list):
+            filt = filt[-1] if filt else None
+        images.append({
+            "image_index": idx,
+            "name": str(name),
+            "width": int(doc.resolve(xo.dict.get(Name("Width"))) or 0),
+            "height": int(doc.resolve(xo.dict.get(Name("Height"))) or 0),
+            "format": _IMG_FMT.get(str(filt) if filt else None, "raw"),
+            "payload": bytes(xo.raw),
+        })
+    return images
+
+
+def _walk_pages(doc: Document, node: dict, out: list[dict]) -> None:
+    t = doc.resolve(node.get(Name("Type")))
+    if t == "Pages":
+        for kid in doc.resolve(node.get(Name("Kids"))) or []:
+            _walk_pages(doc, doc.resolve(kid), out)
+    elif t == "Page":
+        out.append(node)
+
+
+def parse_pdf(data: bytes) -> dict:
+    """OP-59/OP-60 kernel: PDF bytes -> {n_pages, pages[], metadata}.
+
+    Each page: {page_number (1-indexed), text, blocks[], images[]}.
+    Raises PdfError on out-of-dialect input.
+    """
+    doc = Document(data)
+    root = doc.resolve(doc.trailer.get(Name("Root")))
+    if not isinstance(root, dict):
+        raise PdfError("no /Root catalog")
+    pages_node = doc.resolve(root.get(Name("Pages")))
+    if not isinstance(pages_node, dict):
+        raise PdfError("no /Pages tree")
+    page_dicts: list[dict] = []
+    _walk_pages(doc, pages_node, page_dicts)
+
+    info = doc.resolve(doc.trailer.get(Name("Info"))) or {}
+    metadata = {
+        str(k): (_decode_pdf_string(v) if isinstance(v, bytes) else str(v))
+        for k, v in info.items()
+    }
+
+    pages: list[dict] = []
+    for i, pg in enumerate(page_dicts):
+        contents = doc.resolve(pg.get(Name("Contents")))
+        streams = contents if isinstance(contents, list) else [contents]
+        buf = b"\n".join(
+            doc.stream_data(doc.resolve(s))
+            for s in streams
+            if isinstance(doc.resolve(s), Stream)
+        )
+        runs = _extract_runs(buf)
+        text, blocks = _assemble_text(runs)
+        pages.append({
+            "page_number": i + 1,  # 1-indexed like the reference (OP-19)
+            "text": text,
+            "blocks": blocks,
+            "images": _page_images(doc, pg),
+        })
+    return {"n_pages": len(pages), "pages": pages, "metadata": metadata}

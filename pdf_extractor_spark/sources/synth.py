@@ -1,0 +1,316 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Produces the input table of BASELINE.json:input_hint —
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)`` —
+with three payload dialects (FIXTURES.md §1):
+
+  A. HTML pages (nav/footer boilerplate + main article + ragged ``<table>``)
+  B. honest minimal PDF 1.4 (real xref table, Flate content streams,
+     ``BT/Tf/Td/TD/Tm/T*/Tj/TJ`` operators emitted OUT of reading order so
+     the (y, x) sort of the parser is observable, embedded image XObjects
+     including sub-50x50 ones for the min-size filter)
+  C. raw byte streams (UTF-8/UTF-16/Latin-1, BOMs, NFD pairs, CRLF, noise)
+
+Everything is seeded per-doc (``random.Random(seed ^ doc_id)``) — the same
+(seed, doc_id) always yields byte-identical payloads, which is what makes the
+golden files and the N-vs-4N scaling runs comparable.
+
+The PDF writer exists only to exercise the parser; it shares no code with it
+(generator/parser honesty requirement, SURVEY.md §7 hard part (b)).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+import zlib
+
+__all__ = ["make_pdf", "make_html", "make_raw", "gen_doc", "gen_corpus", "HEAVY_HOST"]
+
+_WORDS = (
+    "data spark table query column row batch shuffle join filter scan "
+    "page text block image crawl token stream byte index hash merge sort "
+    "group window count value partition salt skew vector model corpus "
+    "article content extract parse render layout anchor footer header"
+).split()
+
+_LATIN1_EXTRA = ["caf\xe9", "na\xefve", "\xfcber", "se\xf1or"]
+
+HEAVY_HOST = "heavy.example.com"
+_BASE_TS = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.1:
+        ws.append(rng.choice(_LATIN1_EXTRA))
+    s = " ".join(ws)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, n_sentences: int = 3) -> str:
+    return " ".join(_sentence(rng, rng.randint(6, 14)) for _ in range(n_sentences))
+
+
+# --------------------------------------------------------------------------
+# Dialect B: honest minimal PDF 1.4 writer
+# --------------------------------------------------------------------------
+def _pdf_escape(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
+    """Emit text operators for ``lines`` (top-to-bottom reading order) in a
+    SHUFFLED order, with a mix of Td / Tm / TD+T* / TJ forms."""
+    chunks: list[bytes] = []
+    y = 720.0
+    size = 12.0
+    for line in lines:
+        x = 72.0
+        ops: list[bytes] = [b"BT", b"/F1 %.1f Tf" % size]
+        style = rng.randrange(4)
+        if style == 0:
+            ops.append(b"%.2f %.2f Td" % (x, y))
+            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+        elif style == 1:
+            ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
+            # split the line into 2-3 runs emitted in random x order;
+            # within-line x-sort (OP-49) must reassemble them.
+            words = line.split(" ")
+            cut = max(1, len(words) // 2)
+            runs = [" ".join(words[:cut]) + " ", " ".join(words[cut:])]
+            offsets = []
+            off = 0.0
+            for r in runs:
+                offsets.append(off)
+                off += 0.5 * size * len(r)
+            idx = list(range(len(runs)))
+            rng.shuffle(idx)
+            for i in idx:
+                ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x + offsets[i], y))
+                ops.append(b"(" + _pdf_escape(runs[i]) + b") Tj")
+        elif style == 2:
+            ops.append(b"%.1f TL" % 16.0)
+            ops.append(b"%.2f %.2f Td" % (x, y + 16.0))
+            ops.append(b"T*")
+            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+        else:
+            ops.append(b"%.2f %.2f Td" % (x, y))
+            words = line.split(" ")
+            arr = b" ".join(
+                b"(" + _pdf_escape(w + (" " if i < len(words) - 1 else "")) + b") -10"
+                for i, w in enumerate(words)
+            )
+            ops.append(b"[" + arr + b"] TJ")
+        ops.append(b"ET")
+        chunks.append(b"\n".join(ops))
+        y -= 16.0
+    rng.shuffle(chunks)  # emission order != reading order: forces OP-48 sort
+    return b"\n".join(chunks) + b"\n"
+
+
+def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
+             with_images: bool = True) -> tuple[bytes, list[list[str]]]:
+    """Return (pdf_bytes, per-page expected reading-order lines)."""
+    if n_pages is None:
+        n_pages = rng.randint(1, 4)
+    page_lines: list[list[str]] = []
+    for _ in range(n_pages):
+        n = rng.randint(3, 10)
+        page_lines.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
+
+    objs: dict[int, bytes] = {}
+    next_id = 3
+    font_id = next_id
+    next_id += 1
+    objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    kid_ids: list[int] = []
+    for lines in page_lines:
+        content = _content_stream(rng, lines)
+        comp = zlib.compress(content, 6)
+        cont_id = next_id
+        next_id += 1
+        objs[cont_id] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp + b"\nendstream"
+        )
+        xobj_entries = b""
+        if with_images and rng.random() < 0.6:
+            n_imgs = rng.randint(1, 2)
+            parts = []
+            for k in range(n_imgs):
+                # every other image is sub-50x50 → dropped by OP-25 filter
+                if rng.random() < 0.5:
+                    w, h = rng.randint(8, 49), rng.randint(8, 49)
+                else:
+                    w, h = rng.randint(50, 320), rng.randint(50, 240)
+                payload = zlib.compress(bytes(rng.getrandbits(8) for _ in range(64)))
+                img_id = next_id
+                next_id += 1
+                objs[img_id] = (
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                    % (w, h, len(payload)) + payload + b"\nendstream"
+                )
+                parts.append(b"/Im%d %d 0 R" % (k, img_id))
+            xobj_entries = b" /XObject << " + b" ".join(parts) + b" >>"
+        page_id = next_id
+        next_id += 1
+        objs[page_id] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >>%s >> >>"
+            % (cont_id, font_id, xobj_entries)
+        )
+        kid_ids.append(page_id)
+
+    info_id = next_id
+    next_id += 1
+    objs[info_id] = (
+        b"<< /Title (Synthetic Doc %d) /Author (corpus-gen) "
+        b"/Producer (pdf_extractor_spark fixtures) >>" % doc_id
+    )
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % k for k in kid_ids)
+        + b"] /Count %d >>" % len(kid_ids)
+    )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    max_id = max(objs)
+    out += b"xref\n0 %d\n" % (max_id + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_id + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_id + 1, info_id, xref_off)
+    )
+    return bytes(out), page_lines
+
+
+# --------------------------------------------------------------------------
+# Dialect A: HTML page writer
+# --------------------------------------------------------------------------
+_HTML_CHARSETS = ["utf-8", "utf-8", "utf-8", "iso-8859-1", "utf-16"]
+
+
+def make_html(rng: random.Random, doc_id: int, lang: str,
+              min_bytes: int = 0) -> bytes:
+    charset = rng.choice(_HTML_CHARSETS)
+    title = _sentence(rng, 4).rstrip(".")
+    n_paras = rng.randint(2, 6)
+    paras = [_paragraph(rng, rng.randint(2, 4)) for _ in range(n_paras)]
+    if min_bytes:  # oversized-doc dialect (memory-bounding fixture)
+        while sum(len(p) for p in paras) < min_bytes:
+            paras.append(_paragraph(rng, 6))
+    nav_links = "".join(
+        f'<a href="/{rng.choice(_WORDS)}/{i}">{rng.choice(_WORDS)}</a> '
+        for i in range(rng.randint(3, 7))
+    )
+    inline_link = f'<a href="https://ref.example.org/{doc_id}">{rng.choice(_WORDS)}</a>'
+    body_paras = []
+    for i, para in enumerate(paras):
+        extra = inline_link if i == 1 and rng.random() < 0.5 else ""
+        body_paras.append(f"<p>{para} {extra}</p>")
+    if rng.random() < 0.3:
+        body_paras.insert(rng.randrange(len(body_paras)), f"<p>{_sentence(rng, 3)}</p>")
+    table_html = ""
+    if rng.random() < 0.5:
+        rows = []
+        n_cols = rng.randint(2, 4)
+        for r in range(rng.randint(2, 5)):
+            ncells = n_cols if rng.random() < 0.7 else rng.randint(1, n_cols)
+            cells = "".join(
+                f"<td>{'' if rng.random() < 0.2 else rng.choice(_WORDS) + '  ' + rng.choice(_WORDS)}</td>"
+                for _ in range(ncells)
+            )
+            rows.append(f"<tr>{cells}</tr>")
+        table_html = f"<table>{''.join(rows)}</table>"
+    meta = (
+        f'<meta charset="{charset}">' if charset != "utf-16" else ""
+    )  # utf-16 detected via BOM, not meta
+    entity_bits = "&amp; &lt;tag&gt; &#233;" if rng.random() < 0.3 else ""
+    doc = f"""<!DOCTYPE html>
+<html lang="{lang}"><head>{meta}<title>{title}</title>
+<style>body {{ margin: 0 }}</style>
+<script>var boiler = "<p>not content</p>";</script>
+</head><body>
+<header><nav>{nav_links}</nav></header>
+<h1>{title}</h1>
+{''.join(body_paras)}
+{entity_bits}
+{table_html}
+<aside>{_sentence(rng, 5)}</aside>
+<footer>Generated {doc_id} <a href="/terms">{rng.choice(_WORDS)}</a></footer>
+</body></html>"""
+    if charset == "utf-16":
+        return doc.encode("utf-16")  # includes BOM
+    return doc.encode(charset, "xmlcharrefreplace")
+
+
+# --------------------------------------------------------------------------
+# Dialect C: raw byte streams
+# --------------------------------------------------------------------------
+def make_raw(rng: random.Random, doc_id: int) -> bytes:
+    import unicodedata
+    paras = [_paragraph(rng, rng.randint(1, 3)) for _ in range(rng.randint(1, 4))]
+    text = "\r\n\r\n".join(paras) if rng.random() < 0.5 else "\n\n\n".join(paras)
+    if rng.random() < 0.3:
+        text = text.replace(" ", "\t", 3)
+    if rng.random() < 0.3:
+        text = unicodedata.normalize("NFD", text)  # NFC pair fixture
+    enc = rng.choice(["utf-8", "utf-8-sig", "utf-16", "latin-1"])
+    data = text.encode(enc, "replace")
+    if rng.random() < 0.1 and enc == "latin-1":
+        data += b"\xff\xfe\xfd"  # trailing junk: replacement-policy fixture
+    return data
+
+
+# --------------------------------------------------------------------------
+# Corpus assembly
+# --------------------------------------------------------------------------
+_LANGS = ["en", "en", "en", "de", "ja", "und"]
+
+
+def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
+            oversize_frac: float = 0.01, oversize_bytes: int = 1 << 20) -> dict:
+    """One deterministic corpus row (pure function of (doc_id, seed))."""
+    rng = random.Random((seed << 32) ^ doc_id)
+    lang = rng.choice(_LANGS)
+    if rng.random() < host_skew:
+        host = HEAVY_HOST
+    else:
+        host = f"host{rng.randint(0, 199):03d}.example.org"
+    r = rng.random()
+    if r < 0.70:
+        kind = "html"
+        oversized = rng.random() < oversize_frac
+        payload = make_html(rng, doc_id, lang,
+                            min_bytes=oversize_bytes if oversized else 0)
+    elif r < 0.90:
+        kind = "pdf"
+        payload, _ = make_pdf(rng, doc_id)
+    else:
+        kind = "raw"
+        payload = make_raw(rng, doc_id)
+    return {
+        "url": f"https://{host}/{lang}/{kind}/{doc_id:08d}",
+        "warc_ts": _BASE_TS + _dt.timedelta(seconds=doc_id * 37),
+        "html": payload,
+        "text": "",
+        "lang": lang,
+    }
+
+
+def gen_corpus(n_docs: int, seed: int = 42, **kw):
+    """Yield ``n_docs`` deterministic rows."""
+    for doc_id in range(n_docs):
+        yield gen_doc(doc_id, seed=seed, **kw)

@@ -1,0 +1,140 @@
+"""OP-59/OP-60 PDF layout-parser kernel tests (FIXTURES.md dialect B)."""
+
+import random
+import zlib
+
+import pytest
+
+from pdf_extractor_spark.kernels.pdf import PdfError, parse_pdf
+from pdf_extractor_spark.sources.synth import make_pdf
+
+
+def test_roundtrip_reading_order():
+    """Writer emits operators shuffled; parser must restore (y desc, x asc)
+    reading order — the OP-48 invariant."""
+    for seed in range(10):
+        rng = random.Random(seed)
+        pdf, expected_pages = make_pdf(rng, seed, n_pages=3)
+        r = parse_pdf(pdf)
+        assert r["n_pages"] == 3
+        for pg, exp_lines in zip(r["pages"], expected_pages):
+            assert pg["text"].split("\n") == exp_lines
+
+
+def test_pages_one_indexed():
+    rng = random.Random(1)
+    pdf, _ = make_pdf(rng, 1, n_pages=2)
+    r = parse_pdf(pdf)
+    assert [p["page_number"] for p in r["pages"]] == [1, 2]
+
+
+def test_blocks_have_bbox_and_type():
+    rng = random.Random(2)
+    pdf, _ = make_pdf(rng, 2, n_pages=1)
+    blocks = parse_pdf(pdf)["pages"][0]["blocks"]
+    assert blocks
+    ys = [b["y0"] for b in blocks]
+    assert ys == sorted(ys, reverse=True)  # top-to-bottom
+    assert all(b["block_type"] == 0 for b in blocks)
+    assert all(b["x1"] > b["x0"] for b in blocks)
+
+
+def test_images_extracted_with_dims():
+    rng = random.Random(3)
+    pdf, _ = make_pdf(rng, 3, n_pages=6, with_images=True)
+    r = parse_pdf(pdf)
+    imgs = [i for p in r["pages"] for i in p["images"]]
+    assert imgs, "expected at least one image across 6 pages"
+    for img in imgs:
+        assert img["width"] > 0 and img["height"] > 0
+        assert img["format"] in ("raw", "jpeg", "jp2")
+        assert isinstance(img["payload"], bytes) and img["payload"]
+
+
+def test_flate_content_streams_are_real():
+    rng = random.Random(4)
+    pdf, _ = make_pdf(rng, 4, n_pages=1)
+    assert b"/FlateDecode" in pdf
+    # the text must NOT appear in cleartext (honest compression)
+    r = parse_pdf(pdf)
+    line0 = r["pages"][0]["text"].split("\n")[0]
+    assert line0.encode("latin-1") not in pdf
+
+
+def test_metadata():
+    rng = random.Random(5)
+    pdf, _ = make_pdf(rng, 55, n_pages=1)
+    meta = parse_pdf(pdf)["metadata"]
+    assert meta["Title"] == "Synthetic Doc 55"
+    assert meta["Author"] == "corpus-gen"
+
+
+def test_string_escapes():
+    """Literal-string escapes: \\( \\) \\\\ and octal."""
+    content = b"BT /F1 12 Tf 72 700 Td (paren \\( close \\) back\\\\ oct\\101) Tj ET\n"
+    pdf = _tiny_pdf(content)
+    r = parse_pdf(pdf)
+    assert r["pages"][0]["text"] == "paren ( close ) back\\ octA"
+
+
+def test_tj_array_and_quote_ops():
+    content = (b"BT /F1 12 Tf 16 TL 72 700 Td [(he) -10 (llo )] TJ ET\n"
+               b"BT /F1 12 Tf 16 TL 200 700 Td (world) Tj ET\n"
+               b"BT /F1 12 Tf 16 TL 72 700 Td (next line) ' ET\n")
+    pdf = _tiny_pdf(content)
+    text = parse_pdf(pdf)["pages"][0]["text"]
+    assert text.split("\n") == ["hello world", "next line"]
+
+
+def test_malformed_raises_pdferror():
+    with pytest.raises(PdfError):
+        parse_pdf(b"not a pdf at all")
+    with pytest.raises(PdfError):
+        parse_pdf(b"%PDF-1.4\njunk with no xref")
+
+
+def test_deterministic():
+    rng1, rng2 = random.Random(9), random.Random(9)
+    p1, _ = make_pdf(rng1, 9)
+    p2, _ = make_pdf(rng2, 9)
+    assert p1 == p2
+    assert parse_pdf(p1) == parse_pdf(p2)
+
+
+def _tiny_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Hand-rolled single-page PDF (independent of synth.make_pdf)."""
+    if compress:
+        body = zlib.compress(content)
+        stream_dict = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
+    else:
+        body = content
+        stream_dict = b"<< /Length %d >>" % len(body)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: stream_dict + b"\nstream\n" + body + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(objs):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for n in range(1, 6):
+        out += b"%010d 00000 n \n" % offs[n]
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref
+    return bytes(out)
+
+
+def test_uncompressed_stream_supported():
+    pdf = _tiny_pdf(b"BT /F1 12 Tf 72 700 Td (plain stream) Tj ET\n")
+    assert parse_pdf(pdf)["pages"][0]["text"] == "plain stream"
+
+
+def test_compressed_tiny():
+    pdf = _tiny_pdf(b"BT /F1 12 Tf 72 700 Td (flate stream) Tj ET\n", compress=True)
+    assert parse_pdf(pdf)["pages"][0]["text"] == "flate stream"
