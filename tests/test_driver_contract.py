@@ -1,0 +1,107 @@
+"""Driver-contract harness: every registered query vs its DuckDB oracle.
+
+Mimics the driver's CORRECTNESS gate (SURVEY.md §5.2 layer 3): run the Spark
+DataFrame query and the oracle SQL on the same parquet tables, then compare
+column names, row counts, and an order-insensitive value set.  Cells are
+stringified the way a value-hash would see them, so any engine divergence
+(decimal vs float rendering, HUGEINT→float64 coercion, regexp semantics)
+fails loudly here before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _norm_cell(v):
+    """Canonical string form of one cell — the comparison's hash input.
+
+    Decimals and datetimes are *rejected*: their pandas rendering differs
+    between engines (registry.py portability rules)."""
+    if v is None:
+        return "∅"
+    if isinstance(v, decimal.Decimal):
+        raise AssertionError(f"Decimal leaked into output: {v!r}")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        raise AssertionError(f"raw timestamp leaked into output: {v!r}")
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        raise AssertionError(f"boolean leaked into output: {v!r}")
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def _spark_rows(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(_norm_cell(r[c]) for c in sorted(cols)) for r in df.collect()]
+    return sorted(cols), sorted(rows)
+
+
+def _duck_rows(name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    cur = con.execute(ORACLES[name])
+    cols = [d[0] for d in cur.description]
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    raw = cur.fetchall()
+    rows = [tuple(_norm_cell(r[i]) for i in idx) for r in raw]
+    con.close()
+    return sorted(cols), sorted(rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    s_cols, s_rows = _spark_rows(spark, name)
+    d_cols, d_rows = _duck_rows(name)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    if s_rows != d_rows:
+        diff_a = [r for r in s_rows if r not in set(d_rows)][:5]
+        diff_b = [r for r in d_rows if r not in set(s_rows)][:5]
+        raise AssertionError(
+            f"{name}: value mismatch\n spark-only: {diff_a}\n oracle-only: {diff_b}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, name):
+    """Non-SQL-expressible queries: driver records a rows-only check."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
