@@ -1,0 +1,253 @@
+"""Deduplication operators for a training-data pipeline (task brief §extras).
+
+Four families, all expressed relationally (JVM-side; md5 is the portable
+hash both Spark and the DuckDB oracle share):
+
+* exact dedup           — normalize → hash → groupBy
+* n-gram Jaccard        — char-5-gram shingles, pair overlap via shingle join
+* MinHash + LSH banding — 16 lexicographic-min md5 signatures, 8 bands of 2,
+                          band-bucket join for candidate pairs
+* SimHash               — 16-bit sign-of-sum sketch from per-token md5 bits
+
+Scale notes (100 TB): the shingle self-join is the textbook near-dup plan —
+shuffle keyed on the shingle/band value, so hot shingles are the skew risk;
+the MinHash variant exists precisely because its band buckets bound the join
+fan-out (band collisions ≈ true near-dups, not vocabulary overlap).  The
+pairwise Jaccard query is capped to a doc_id window here; at scale it runs
+only WITHIN LSH buckets (candidate verification), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import T, query
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM (SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h
+          FROM documents)
+    GROUP BY h
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: canonicalize (lower + whitespace collapse) → md5 →
+    hash-groupBy keeping the smallest doc_id (deterministic keeper)."""
+    d = T(spark, sf, "documents")
+    h = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    return d.select("doc_id", h.alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").cast("long").alias("keeper"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle fragments
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = """
+  shingles AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 3),
+                                   i -> substr(text, CAST(i AS INT), 5))) AS sh
+      FROM documents WHERE doc_id < {cap} AND length(text) >= 5))
+"""
+
+
+def _shingles(spark: SparkSession, sf: str, cap: int) -> DataFrame:
+    d = T(spark, sf, "documents").filter(
+        (F.col("doc_id") < cap) & (F.length("text") >= 5)
+    )
+    sh = F.explode(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    return d.select("doc_id", sh.alias("sh")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram",
+    "WITH "
+    + _SHINGLES_SQL.format(cap=100)
+    + """,
+  sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+  pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM shingles a JOIN shingles b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+    SELECT p.doc_a, p.doc_b, CAST(p.inter AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.25
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs (threshold 0.25) over a doc_id
+    window.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a per-pair integer ratio —
+    bit-identical across engines."""
+    sh = _shingles(spark, sf, 100)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(j >= 0.25)
+        .select(
+            "doc_a", "doc_b",
+            F.col("inter").cast("long").alias("n_common"),
+            F.col("sa.n").cast("long").alias("n_a"),
+            F.col("sb.n").cast("long").alias("n_b"),
+            j.alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_BAND_SIZE = 2  # 8 bands of 2
+
+
+@query(
+    "q_minhash_lsh",
+    "WITH "
+    + _SHINGLES_SQL.format(cap=200)
+    + f""",
+  sig AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, range(0, {_N_HASHES}) r(seed)
+    GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+    FROM sig GROUP BY doc_id, CAST(seed // {_BAND_SIZE} AS INT))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands × 2 rows) candidate pairs.  The min of md5
+    hex strings is a valid uniform min-hash (lexicographic order over a
+    uniform hash), and — unlike integer-conversion tricks — is portable to
+    the DuckDB oracle verbatim.
+
+    At scale: the band-bucket join replaces the all-pairs Jaccard; bucket
+    sizes are the skew control (band width tunes precision/recall)."""
+    sh = _shingles(spark, sf, 200)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
+    hashed = sh.select("doc_id", "sh", seeds).select(
+        "doc_id", "seed",
+        F.md5(F.concat_ws(":", F.col("seed"), F.col("sh")).cast("binary")).alias("h"),
+    )
+    sig = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    band = (F.col("seed") / _BAND_SIZE).cast("int").alias("band")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+    )
+    bands = sig.select("doc_id", band, "mh", "seed").groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws("|", ordered).cast("binary")).alias("bkey")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIM_BITS = 16
+
+
+@query(
+    "q_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, md5(u.w) AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     (w, i) -> struct_pack(w := w, i := i))) AS u
+            FROM documents WHERE trim(text) <> '')),
+    bits AS (
+      SELECT doc_id, j,
+             CASE WHEN sum(CASE WHEN substr(h, CAST(j AS INT), 1)
+                                     IN ('8','9','a','b','c','d','e','f')
+                                THEN 1 ELSE -1 END) > 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM toks, range(1, {_SIM_BITS + 1}) r(j)
+      GROUP BY doc_id, j)
+    SELECT doc_id, string_agg(bit, '' ORDER BY j) AS sketch
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """16-bit SimHash: per-token md5, bit j votes +1/-1 by the top bit of hex
+    nibble j, sign of the per-doc sum is sketch bit j.  Docs sharing a sketch
+    are near-dup candidates (exact-match join on the sketch at scale)."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
+    bits = toks.select(
+        "doc_id", "h",
+        F.explode(F.sequence(F.lit(1), F.lit(_SIM_BITS))).alias("j"),
+    ).select(
+        "doc_id", "j",
+        F.when(
+            F.expr("substring(h, j, 1)").isin(list("89abcdef")), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("v"),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(
+        F.when(F.sum("v") > 0, "1").otherwise("0").alias("bit")
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda s: s["bit"]
+    )
+    return per_bit.groupBy("doc_id").agg(F.concat_ws("", ordered).alias("sketch"))
