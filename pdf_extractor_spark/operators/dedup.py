@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import T, query
+from .registry import T, fan_out, query
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -68,8 +68,11 @@ _SHINGLES_SQL = """
 
 
 def _shingles(spark: SparkSession, sf: str, cap: int) -> DataFrame:
-    d = T(spark, sf, "documents").filter(
-        (F.col("doc_id") < cap) & (F.length("text") >= 5)
+    d = fan_out(
+        T(spark, sf, "documents").filter(
+            (F.col("doc_id") < cap) & (F.length("text") >= 5)
+        ),
+        "doc_id",
     )
     sh = F.explode(
         F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
@@ -230,7 +233,9 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash: per-token md5, bit j votes +1/-1 by the top bit of hex
     nibble j, sign of the per-doc sum is sketch bit j.  Docs sharing a sketch
     are near-dup candidates (exact-match join on the sketch at scale)."""
-    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    d = fan_out(
+        T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""), "doc_id"
+    )
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),

@@ -17,8 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.extract import with_extraction
-from ..plans.pipeline import doc_text_expr
-from .registry import T, query
+from .registry import T, fan_out, query
 
 # One-line template: no inter-tag whitespace => no stray whitespace-only
 # DOM blocks; nav/footer are link-only noise; the article carries the
@@ -37,7 +36,7 @@ _SUFFIX = (
 def pages_from_documents(spark: SparkSession, sf: str) -> DataFrame:
     """documents table -> input-hint pages table (url, warc_ts, html, text,
     lang).  Deterministic: html is a pure SQL function of (doc_id, text)."""
-    d = T(spark, sf, "documents")
+    d = fan_out(T(spark, sf, "documents"), "doc_id")
     ident = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><head><meta charset="utf-8"><title>Doc '), ident,
@@ -85,14 +84,13 @@ def q_extract_text(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship kernel gate (OP-64/65 + OP-43b): full Arrow-UDF DOM
     extraction must reproduce, byte-identically, the SQL-stated expectation —
     heading + article body when the body clears MIN_CONTENT_WORDS, else
-    empty (heading demoted, kernels/dom.py _classify)."""
+    empty (heading demoted, kernels/dom.py _classify).  Uses the slim
+    doc-level kernel (flat mapInPandas, no nested structs over Arrow); its
+    text is proven equal to the full-struct doc_text_expr path in tests."""
+    from ..operators.extract import extracted_docs_frame
+
     pages = pages_from_documents(spark, sf)
-    ext = with_extraction(pages)
-    return ext.select(
-        "doc_id",
-        F.col("ext.title").alias("title"),
-        doc_text_expr(F.col("ext.pages"), F.col("ext.kind")).alias("text"),
-    )
+    return extracted_docs_frame(pages).select("doc_id", "title", "text")
 
 
 @query(

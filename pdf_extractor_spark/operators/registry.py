@@ -50,3 +50,15 @@ def query(name: str, oracle: str | None = None):
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (plain parquet scan — pushdown-friendly)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a SMALL scan before CPU-heavy per-row work (explode /
+    hash / kernel UDF).  A few-MB parquet file maps to 1-2 input partitions
+    (spark.sql.files.maxPartitionBytes), which serializes the expensive
+    stage onto 1-2 cores; at 100 TB the scan itself is wide and this is a
+    no-op cost-wise (one narrow shuffle of the slim input columns)."""
+    sc = df.sparkSession.sparkContext
+    n = max(8, sc.defaultParallelism * 2)
+    cols = [df[k] for k in keys] if keys else []
+    return df.repartition(n, *cols) if cols else df.repartition(n)

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import T, query
+from .registry import T, fan_out, query
 
 _PLANES = 8
 
@@ -42,7 +42,7 @@ _DIMS_SQL = """
 
 
 def _dims(spark: SparkSession, sf: str) -> DataFrame:
-    e = T(spark, sf, "embeddings")
+    e = fan_out(T(spark, sf, "embeddings"), "vec_id")
     return e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "vf")
     ).select(

