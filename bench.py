@@ -81,6 +81,10 @@ def main() -> None:
 
     # route_oversized doubles as the fan-out: a compact parquet corpus maps
     # to very few scan partitions, which would serialize the kernel UDF.
+    # Scan width sized to the (tiny) bench corpus — at 100 TB the default
+    # 128 MB split gives the same width naturally.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
     from pdf_extractor_spark.plans.pipeline import route_oversized
 
     def timed(thunk) -> float:
