@@ -23,7 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pdf_extractor_spark.operators import registry  # noqa: E402
 from pdf_extractor_spark.operators import relational  # noqa: E402,F401
 
-for _mod in ("dedup", "similarity", "textstats", "multimodal", "pipeline_queries"):
+for _mod in ("dedup", "similarity", "textstats", "multimodal", "pipeline_queries",
+             "salted"):
     try:  # modules land incrementally; the registry only lists what exists
         __import__(f"pdf_extractor_spark.operators.{_mod}")
     except ImportError:

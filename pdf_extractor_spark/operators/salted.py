@@ -1,0 +1,108 @@
+"""Explicit skew salting (north rule: "explicit salting for skewed hosts").
+
+Two-phase salted aggregation: phase 1 aggregates on (key, salt) — the hot
+key's rows split across ``n_salts`` reducers — phase 2 merges the partials
+on the key alone.  AQE's size-based skew splitting cannot see *UDF compute
+time* skew (SURVEY.md §4.3.1), so the salt is explicit.
+
+Only algebraic aggregates participate (count/sum/min/max — partials merge
+losslessly), which is exactly what the extraction pipeline's host-level
+rollups need.  ``host_of`` derives the skew key (host) from the url the
+same way on any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import T, fan_out, query
+
+__all__ = ["host_of", "salted_agg", "host_stats"]
+
+
+def host_of(url: Column) -> Column:
+    """url -> host (reference analogue: per-source grouping of crawled docs)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    counts: list[tuple[str, str]] = (),
+    sums: list[tuple[str, str]] = (),
+) -> DataFrame:
+    """Two-phase salted groupBy.
+
+    counts: [(alias, '*')] entries; sums: [(alias, source_col)] entries.
+    Result is value-identical to the plain ``df.groupBy(keys).agg(...)`` —
+    proven by the driver oracle (q_salted_agg) — but the first shuffle
+    spreads each hot key over ``n_salts`` partitions.
+    """
+    # Row-varying salt; any value distribution works because the aggregates
+    # are algebraic — a task retry regenerates its whole partial partition,
+    # so differing salt values across attempts cannot double-count.
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[F.count(F.lit(1)).alias(f"_c_{a}") for a, _ in counts],
+            *[F.sum(src).alias(f"_s_{a}") for a, src in sums],
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_c_{a}").alias(a) for a, _ in counts],
+        *[F.sum(f"_s_{a}").alias(a) for a, _ in sums],
+    )
+
+
+def host_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-host doc/byte rollup of a pages table, salt-protected against the
+    heavy-host skew (30% of a crawl on one host is normal)."""
+    with_host = pages.select(
+        host_of(F.col("url")).alias("host"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    return salted_agg(
+        with_host, ["host"], n_salts,
+        counts=[("n_docs", "*")],
+        sums=[("total_bytes", "n_bytes")],
+    )
+
+
+@query(
+    "q_salted_agg",
+    """
+    SELECT k, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CASE WHEN user_id % 10 < 3 THEN 'heavy'
+                  ELSE 'u' || CAST(user_id AS VARCHAR) END AS k,
+             value
+      FROM events)
+    GROUP BY k
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-phase aggregation over an artificially skewed key (30% of
+    rows share one key — the heavy-host shape).  The oracle is the PLAIN
+    group-by: salting must be invisible in the result."""
+    e = T(spark, sf, "events")
+    k = F.when(F.col("user_id") % 10 < 3, F.lit("heavy")).otherwise(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    skewed = e.select(
+        k.alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    out = salted_agg(
+        skewed, ["k"], n_salts=16,
+        counts=[("n_events", "*")],
+        sums=[("total_value", "v")],
+    )
+    return out.select(
+        "k",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )

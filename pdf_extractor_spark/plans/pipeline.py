@@ -213,16 +213,23 @@ def run_extraction(
         t0 = time.time()
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
         routed = route_oversized(part, parts)
-        # one kernel pass feeds both sinks: persist the extraction (payload
-        # column dropped — the reference re-parses per concern, we don't)
-        ext = (
-            with_extraction(routed)
-            .withColumn("n_bytes", F.length("html").cast("long"))
-            .drop("html")
-            .persist()
-        )
         obs = Observation(f"bucket_{b}")
-        docs = extracted_docs(ext, has_ext=True).observe(
+        if write_pages_table:
+            # one kernel pass feeds both sinks: persist the extraction
+            # (payload column dropped — the reference re-parses per concern,
+            # /root/reference/.../core/extractor.py:116,149,201; we don't)
+            ext = (
+                with_extraction(routed)
+                .withColumn("n_bytes", F.length("html").cast("long"))
+                .drop("html")
+                .persist()
+            )
+            docs = extracted_docs(ext, has_ext=True)
+        else:
+            # docs-only run: slim kernel path, nothing nested crosses Arrow
+            ext = None
+            docs = extracted_docs(routed)
+        docs = docs.observe(
             obs,
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_bytes").alias("n_bytes"),
@@ -232,7 +239,7 @@ def run_extraction(
             extracted_pages(ext, has_ext=True).write.mode("overwrite").parquet(
                 f"{out_dir}/pages/bucket={b}"
             )
-        ext.unpersist()
+            ext.unpersist()
         wall = time.time() - t0
         n_docs = int(obs.get.get("n_docs") or 0)
         n_bytes = int(obs.get.get("n_bytes") or 0)

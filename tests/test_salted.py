@@ -1,0 +1,38 @@
+"""Skew-salting layer (SURVEY.md §4.3.1 / north rule)."""
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.salted import host_of, host_stats
+from pdf_extractor_spark.sources.pages import corpus_df
+from pdf_extractor_spark.sources.synth import HEAVY_HOST
+
+
+def test_host_stats_equals_plain_groupby(spark):
+    pages = corpus_df(spark, 400, seed=11, host_skew=0.3)
+    salted = {
+        (r["host"], r["n_docs"], r["total_bytes"])
+        for r in host_stats(pages, n_salts=8).collect()
+    }
+    plain = {
+        (r["host"], r["n_docs"], r["total_bytes"])
+        for r in pages.select(
+            host_of(F.col("url")).alias("host"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_heavy_host_is_actually_skewed(spark):
+    """The fixture corpus puts ~30% of docs on one host — the skew the salt
+    exists for."""
+    pages = corpus_df(spark, 400, seed=11, host_skew=0.3)
+    counts = {r["host"]: r["n_docs"] for r in host_stats(pages).collect()}
+    assert counts[HEAVY_HOST] > 0.2 * 400
+    assert max(c for h, c in counts.items() if h != HEAVY_HOST) < 0.05 * 400

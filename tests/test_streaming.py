@@ -1,0 +1,75 @@
+"""Structured-Streaming layer: incremental extraction + windowed rollup."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.schema import PAGES_INPUT_SCHEMA
+from pdf_extractor_spark.sources.synth import gen_doc
+from pdf_extractor_spark.streaming.incremental import (
+    stream_extract,
+    stream_host_windows,
+)
+
+
+def _write_slice(spark, path, lo, hi):
+    rows = [gen_doc(i, seed=21) for i in range(lo, hi)]
+    spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_INPUT_SCHEMA).coalesce(
+        2
+    ).write.mode("append").parquet(path)
+
+
+def test_incremental_extract_resumes_without_reprocessing(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_slice(spark, src, 0, 60)
+    q = stream_extract(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 60
+
+    # new crawl segment lands; SAME checkpoint → only new files processed
+    _write_slice(spark, src, 60, 100)
+    q = stream_extract(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    docs = spark.read.parquet(out)
+    assert docs.count() == 100
+    assert docs.select("url").distinct().count() == 100  # no reprocessing
+
+    # streamed output == batch output on the same input (byte identity)
+    from pdf_extractor_spark.plans.pipeline import extracted_docs
+
+    batch = extracted_docs(spark.read.parquet(src))
+    a = {(r["url"], r["text"]) for r in docs.select("url", "text").collect()}
+    b = {(r["url"], r["text"]) for r in batch.select("url", "text").collect()}
+    assert a == b
+
+
+def test_windowed_host_rollup_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt_w")
+    _write_slice(spark, src, 0, 120)
+
+    q = stream_host_windows(spark, src, ckpt, table_name="hw_test")
+    q.awaitTermination(120)
+    streamed = {
+        (r["w"]["start"], r["host"], r["n_docs"], r["total_bytes"])
+        for r in spark.sql("SELECT * FROM hw_test").collect()
+    }
+    batch = {
+        (r["w"]["start"], r["host"], r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(src)
+        .select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            "warc_ts",
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert streamed == batch
