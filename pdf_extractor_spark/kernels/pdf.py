@@ -53,6 +53,7 @@ class Stream:
 
 
 _WS = b"\x00\t\n\x0c\r "
+_WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
 _DELIM = b"()<>[]{}/%"
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 
@@ -66,15 +67,17 @@ class _Lexer:
 
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
-        while self.pos < n:
-            c = d[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to EOL
-                nl = d.find(b"\n", self.pos)
-                self.pos = len(d) if nl < 0 else nl + 1
-            else:
-                break
+        pos = self.pos
+        while True:
+            m = _WS_RE.match(d, pos)
+            if m:
+                pos = m.end()
+            if pos < n and d[pos] == 0x25:  # '%' comment to EOL
+                nl = d.find(b"\n", pos)
+                pos = n if nl < 0 else nl + 1
+                continue
+            break
+        self.pos = pos
 
     def peek_keyword(self, kw: bytes) -> bool:
         self._skip_ws()

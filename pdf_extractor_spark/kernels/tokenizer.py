@@ -116,6 +116,10 @@ def canonical_whitespace(text: str) -> str:
     whole text stripped (reference strip(),
     /root/reference/pdf_extractor/extractors/text_extractor.py:56).
     """
+    if "\n" not in text and "\r" not in text:
+        # fast path for the dominant case (single-line block text): exactly
+        # the general pipeline below collapsed — one line, no NL handling
+        return _HSPACE_RE.sub(" ", text).strip()
     text = text.replace("\r\n", "\n").replace("\r", "\n")
     lines = [_HSPACE_RE.sub(" ", ln).strip() for ln in text.split("\n")]
     text = "\n".join(lines)
@@ -127,7 +131,9 @@ def normalize_text(text: str) -> str:
     """NFC normalize then whitespace-canonicalize (order matters: NFC can
     produce composed chars whose width class differs; we normalize first so
     span offsets index the final string)."""
-    return canonical_whitespace(unicodedata.normalize("NFC", text))
+    if not text.isascii():  # ASCII is NFC-invariant; skip the normalize call
+        text = unicodedata.normalize("NFC", text)
+    return canonical_whitespace(text)
 
 
 def paragraph_spans(text: str) -> list[tuple[int, int]]:
