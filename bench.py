@@ -40,7 +40,7 @@ BENCH_QUERIES = [
 ]
 
 # Extraction throughput corpus size (docs) per bench run.
-N_EXTRACT = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+N_EXTRACT = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
 
 
 def main() -> None:

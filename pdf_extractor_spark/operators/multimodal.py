@@ -111,3 +111,47 @@ def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs})
 
     return _payloads(spark, sf).mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def enhance_image_real(payload: bytes) -> bytes:
+    """Real image enhance/thumbnail (reference simple_extract.py:52-78:
+    contrast x1.3, sharpness x1.5, 600x600 LANCZOS) — NOT IMPLEMENTED here
+    (no Pillow in this container, and resampling output is
+    library-version-dependent, out of byte-identity scope per SURVEY OP-63)."""
+    raise NotImplementedError(
+        "image codec not available; deterministic stub (q_mm_thumbnail) "
+        "exercises the Spark plumbing instead"
+    )
+
+
+@query(
+    "q_mm_thumbnail",
+    """
+    SELECT doc_id,
+           CAST(least(strlen(text) % 640 + 1, 600) AS BIGINT) AS thumb_w,
+           CAST(least((strlen(text) * 7) % 480 + 1, 600) AS BIGINT) AS thumb_h,
+           CAST(strlen(text) % 997 AS BIGINT) AS payload_hash
+    FROM documents
+    """,
+)
+def q_mm_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
+    """Enhance/thumbnail plumbing (SURVEY OP-63; ref simple_extract.py:52-78):
+    binary in -> binary out through mapInPandas, with the 600x600 bounding-box
+    rule on the stub metadata; the oracle restates the deterministic stub."""
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, hh = [], [], []
+            for b in pdf["payload"]:
+                n, w, h, _f = _decode_stub(bytes(b))
+                ws.append(min(w, 600))
+                hs.append(min(h, 600))
+                hh.append(n % 997)  # stands in for the re-encoded payload id
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"),
+                 "thumb_w": ws, "thumb_h": hs, "payload_hash": hh}
+            )
+
+    return _payloads(spark, sf).mapInPandas(
+        thumb, schema="doc_id long, thumb_w long, thumb_h long, payload_hash long"
+    )

@@ -885,3 +885,21 @@ def q_union(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b).distinct().groupBy("lang").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "q_rollup",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical rollup (SURVEY §F note: the natural per-lang/per-source
+    corpus summary).  Spark ROLLUP and ANSI ROLLUP agree on the NULL
+    indicator convention for aggregated-out levels."""
+    return T(spark, sf, "documents").rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -121,3 +121,28 @@ def test_slim_equals_shared_pass(spark, fixture_df):
     a = {tuple(r[c] for c in cols) for r in slim.select(cols).collect()}
     b = {tuple(r[c] for c in cols) for r in shared.select(cols).collect()}
     assert a == b
+
+
+def test_corrupt_payloads_surface_as_error_rows(spark):
+    """Invalid/corrupt payloads must become status='error' side-channel rows
+    (OP-32 mapping), never task failures — end-to-end through the slim path."""
+    import pandas as pd
+
+    from pdf_extractor_spark.schema import PAGES_INPUT_SCHEMA
+
+    rows = [
+        {"url": "https://x/ok", "warc_ts": None,
+         "html": b"<html><body><p>good doc with enough words to classify as content here</p></body></html>",
+         "text": "", "lang": "en"},
+        {"url": "https://x/truncpdf", "warc_ts": None,
+         "html": b"%PDF-1.4\ngarbage no xref", "text": "", "lang": "en"},
+        {"url": "https://x/null", "warc_ts": None, "html": None,
+         "text": "", "lang": "en"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_INPUT_SCHEMA)
+    got = {r["url"]: r for r in extracted_docs(df).collect()}
+    assert got["https://x/ok"]["status"] == "ok"
+    assert got["https://x/ok"]["text"].startswith("good doc")
+    assert got["https://x/truncpdf"]["status"] == "error"
+    assert got["https://x/truncpdf"]["error"]
+    assert got["https://x/null"]["status"] in ("ok", "error")  # never raises
