@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator (applyInPandasWithState).
+
+Per-host crawl accounting that SURVIVES restarts: for every host, maintain
+(n_docs, total_bytes, last_seen_ts) in group state; each micro-batch emits
+the updated totals.  The state store lives in the stream checkpoint, so an
+``availableNow`` drain picks up exactly where the previous one stopped —
+the stateful complement of the stateless incremental extraction
+(streaming/incremental.py).
+
+This is the template for any custom per-key streaming operator the built-in
+windowed aggregates can't express (session gaps, per-host rate limits,
+dedup-within-horizon): grouped Arrow batches in, explicit state in/out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schema import PAGES_INPUT_SCHEMA
+
+__all__ = ["host_state_stream"]
+
+_OUT_SCHEMA = "host string, n_docs long, total_bytes long, last_ts timestamp"
+_STATE_SCHEMA = "n_docs long, total_bytes long, last_ts timestamp"
+
+
+def _update_host(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n_docs, total_bytes, last_ts = state.get
+    else:
+        n_docs, total_bytes, last_ts = 0, 0, None
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        total_bytes += int(pdf["n_bytes"].sum())
+        batch_max: Any = pdf["warc_ts"].max()
+        if last_ts is None or (batch_max is not None and batch_max > last_ts):
+            last_ts = batch_max
+    state.update((n_docs, total_bytes, last_ts))
+    yield pd.DataFrame(
+        {"host": [key[0]], "n_docs": [n_docs], "total_bytes": [total_bytes],
+         "last_ts": [last_ts]}
+    )
+
+
+def host_state_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """File-source stream -> per-host stateful running totals (update mode).
+
+    Sink is foreachBatch -> per-micro-batch partition overwrite (the memory
+    sink cannot recover a checkpointed query; foreachBatch can, and the
+    batch=N overwrite is retry-idempotent like streaming/incremental.py)."""
+    stream = spark.readStream.schema(PAGES_INPUT_SCHEMA).parquet(in_path)
+    keyed = stream.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        "warc_ts",
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+    updated: DataFrame = keyed.groupBy("host").applyInPandasWithState(
+        _update_host,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        updated.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

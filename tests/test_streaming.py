@@ -73,3 +73,54 @@ def test_windowed_host_rollup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stateful_host_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals carry across two
+    availableNow drains via the checkpointed state store, and the final
+    totals equal the batch aggregate over everything ingested."""
+    from pdf_extractor_spark.streaming.stateful import host_state_stream
+
+    src = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt_s")
+
+    out = str(tmp_path / "state_out")
+    _write_slice(spark, src, 0, 50)
+    q = host_state_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    _write_slice(spark, src, 50, 90)  # second drain: state must resume
+    q = host_state_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    # latest update per host across all emitted batches
+    rows = (
+        spark.read.parquet(out)
+        .groupBy("host")
+        .agg(F.expr("max_by(n_docs, n_docs)").alias("n_docs"),
+             F.expr("max_by(total_bytes, n_docs)").alias("total_bytes"))
+        .collect()
+    )
+    streamed_partial = {(r["host"], r["n_docs"], r["total_bytes"]) for r in rows}
+
+    batch = {
+        (r["host"], r["n_docs"], r["total_bytes"])
+        for r in spark.read.parquet(src)
+        .select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+            F.length("html").cast("long").alias("n_bytes"),
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").alias("total_bytes"))
+        .collect()
+    }
+    # hosts updated in drain 2 must show FULL history totals (state resumed);
+    # hosts only seen in drain 1 don't re-emit into hs_b, so compare the
+    # drain-2-updated subset against the batch truth.
+    batch_by_host = {h: (h, n, b) for h, n, b in batch}
+    for host, n, b in streamed_partial:
+        assert (host, n, b) == batch_by_host[host]
+    # the heavy host appears in both slices, so it must be in the subset
+    from pdf_extractor_spark.sources.synth import HEAVY_HOST
+    assert any(h == HEAVY_HOST for h, _, _ in streamed_partial)
