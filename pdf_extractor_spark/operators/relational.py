@@ -903,3 +903,150 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "q_semi_join",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (customers having orders).  Semi joins ship only the
+    join key of the probe side — the cheapest existence test at scale."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (customers without orders) — the checkpoint-resume
+    restart primitive (SURVEY §H: skip urls already extracted)."""
+    c = T(spark, sf, "customer")
+    o = T(spark, sf, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_dedup_apply",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h,
+                 min(doc_id) AS keeper
+          FROM documents GROUP BY 1) k
+      ON d.doc_id = k.keeper
+    GROUP BY lang
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup APPLICATION: keep exactly one doc (smallest doc_id) per
+    canonical-text hash group and count survivors per language — the
+    semi-join-shaped second half of exact dedup (q_dedup_exact finds the
+    groups; this prunes the corpus)."""
+    d = T(spark, sf, "documents")
+    h = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    keepers = (
+        d.select(h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper"))
+        .select("keeper")
+    )
+    return (
+        d.join(keepers, d.doc_id == keepers.keeper, "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@query(
+    "q_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(max(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (custom-operator list): each purchase matched to the
+    latest prior view by the same user — composed as equi-join on the user
+    key + time predicate + max, so the only shuffle is the user-key hash
+    join both sides already need.  (Purchases with no prior view drop out —
+    inner as-of.)"""
+    e = T(spark, sf, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    return (
+        p.join(v, (p.user_id == v.v_user) & (v.v_ts <= p.p_ts))
+        .groupBy("event_id", "user_id")
+        .agg(F.date_format(F.max("v_ts"), "yyyy-MM-dd HH:mm:ss").alias("last_view"))
+    )
+
+
+@query(
+    "q_range_join",
+    """
+    SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_nearby
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id AND b.event_id <> a.event_id
+     AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join (custom-operator list): events within ±30 min
+    of each error by the same user.  The equi user key carries the hash
+    join; the time range is a post-join band filter — the standard Spark
+    range-join shape (a real deployment adds a time-bucket key to bound the
+    band, same as the LSH bucketing idea)."""
+    e = T(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("a_ts")
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    half = F.expr("INTERVAL 30 MINUTE")
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (b.b_id != a.event_id)
+            & (b.b_ts >= a.a_ts - half)
+            & (b.b_ts <= a.a_ts + half),
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+    )
