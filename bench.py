@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q_fingerprint",       # posexplode + lead window + agg
     "q_token_count",       # regexp_count projection
     "q_mm_decode",         # mapInPandas binary plumbing
+    "q_asof_join",         # as-of composition (equi key + time predicate)
+    "q_rollup",            # hierarchical rollup
 ]
 
 # Extraction throughput corpus size (docs) per bench run.
