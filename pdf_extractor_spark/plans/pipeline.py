@@ -42,6 +42,9 @@ __all__ = [
     "doc_text_expr",
     "extracted_docs",
     "extracted_pages",
+    "extracted_images",
+    "extracted_tables",
+    "write_tables_csv",
     "route_oversized",
     "run_extraction",
     "read_manifest",
@@ -153,6 +156,90 @@ def extracted_pages(df: DataFrame, has_ext: bool = False) -> DataFrame:
         F.col("page.tables").alias("tables"),
         F.col("page.links").alias("links"),
     )
+
+
+def extracted_images(
+    df: DataFrame,
+    has_ext: bool = False,
+    min_width: int = 50,
+    min_height: int = 50,
+) -> DataFrame:
+    """Image long table (OP-35/60; ref image_extractor.py:42-166): one row per
+    embedded image with payload inline (no side files in a distributed
+    engine) and the reference's deterministic artifact name (OP-17,
+    file_utils.py:27-60) as a derived column.  The min-size filter (OP-25,
+    image_extractor.py:124-128, defaults 50x50) runs RELATIONALLY and before
+    any downstream payload work — the filter-before-expensive-projection
+    ordering the reference hand-codes."""
+    pages = extracted_pages(df, has_ext=has_ext)
+    imgs = pages.select(
+        "url", "page_number", F.explode("images").alias("img")
+    ).select(
+        "url",
+        "page_number",
+        F.col("img.image_index").alias("image_index"),
+        F.col("img.width").alias("width"),
+        F.col("img.height").alias("height"),
+        F.col("img.format").alias("format"),
+        F.col("img.size_bytes").alias("size_bytes"),
+        F.col("img.payload").alias("payload"),
+    )
+    return imgs.filter(
+        (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    ).withColumn(
+        "artifact_name",
+        F.format_string(
+            "page_%04d_image_%03d.%s",
+            F.col("page_number"), F.col("image_index"), F.col("format"),
+        ),
+    )
+
+
+def extracted_tables(df: DataFrame, has_ext: bool = False) -> DataFrame:
+    """Table long table (OP-36/61; ref table_extractor.py:42-135): one row
+    per detected table with the reference's cell cleaning applied
+    relationally — null->'' coalesce (OP-15, :123-124), whitespace collapse
+    (OP-14, :127-129), all-empty-row drop (OP-28, :131-133), all-empty-table
+    drop (:68-69) — plus the ragged-shape stats (OP-45)."""
+    pages = extracted_pages(df, has_ext=has_ext)
+    t = pages.select(
+        "url", "page_number", F.posexplode("tables").alias("table_index", "data")
+    )
+    cleaned = F.transform(
+        "data",
+        lambda row: F.transform(
+            row,
+            lambda c: F.regexp_replace(F.trim(F.coalesce(c, F.lit(""))), r"\s+", " "),
+        ),
+    )
+    t = t.select("url", "page_number", "table_index", cleaned.alias("data"))
+    t = t.select(
+        "url", "page_number", "table_index",
+        F.filter(
+            "data", lambda row: F.exists(row, lambda c: c != "")
+        ).alias("data"),
+    ).filter(F.size("data") > 0)
+    return t.select(
+        "url", "page_number", "table_index", "data",
+        F.size("data").alias("n_rows"),
+        F.array_max(F.transform("data", lambda r: F.size(r))).alias("n_cols"),
+    )
+
+
+def write_tables_csv(tables: DataFrame, out_dir: str) -> None:
+    """CSV table sink (OP-08; ref table_extractor.py:137-171): one CSV
+    dataset of exploded cells keyed by (url, page, table, row) — the
+    distributed replacement for one-file-per-table."""
+    cells = tables.select(
+        "url", "page_number", "table_index",
+        F.posexplode("data").alias("row_index", "row"),
+    ).select(
+        "url", "page_number", "table_index", "row_index",
+        F.concat_ws(",", F.transform(
+            "row", lambda c: F.regexp_replace(c, '[",]', " ")
+        )).alias("row_csv"),
+    )
+    cells.write.mode("overwrite").csv(out_dir, header=True)
 
 
 # ---------------------------------------------------------------------------
