@@ -985,7 +985,8 @@ def q_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
     "q_asof_join",
     """
     SELECT p.event_id, p.user_id,
-           CAST(min(date_diff('second', v.ts, p.ts)) AS BIGINT) AS view_gap_s
+           CAST(min(date_diff('microsecond', v.ts, p.ts)) AS BIGINT)
+             AS view_gap_us
     FROM events p JOIN events v
       ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
     WHERE p.event_type = 'purchase'
@@ -997,9 +998,9 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     latest prior view by the same user — composed as equi-join on the user
     key + time predicate + min-gap, so the only shuffle is the user-key hash
     join both sides already need.  (Purchases with no prior view drop out —
-    inner as-of.)  Output is the gap in SECONDS: epoch arithmetic is
-    timezone-independent, unlike formatted timestamps (session-tz rendering
-    differs between engines)."""
+    inner as-of.)  Output is the exact gap in MICROSECONDS: integer epoch
+    arithmetic on the stored TIMESTAMP_NTZ values — engine- and
+    timezone-independent, unlike formatted timestamps."""
     e = T(spark, sf, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").alias("p_ts")
@@ -1007,11 +1008,11 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     v = e.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
     )
-    gap = F.col("p_ts").cast("long") - F.col("v_ts").cast("long")
+    gap = F.expr("timestampdiff(MICROSECOND, v_ts, p_ts)")
     return (
         p.join(v, (p.user_id == v.v_user) & (v.v_ts <= p.p_ts))
         .groupBy("event_id", "user_id")
-        .agg(F.min(gap).cast("long").alias("view_gap_s"))
+        .agg(F.min(gap).cast("long").alias("view_gap_us"))
     )
 
 
