@@ -256,3 +256,87 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda s: s["bit"]
     )
     return per_bit.groupBy("doc_id").agg(F.concat_ws("", ordered).alias("sketch"))
+
+
+_CLUSTER_ORACLE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_SQL.format(cap=200)
+    + f""",
+  sig AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, range(0, {_N_HASHES}) r(seed)
+    GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+    FROM sig GROUP BY doc_id, CAST(seed // {_BAND_SIZE} AS INT)),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+  nodes AS (SELECT DISTINCT doc_id FROM (
+      SELECT doc_a AS doc_id FROM cand
+      UNION ALL SELECT doc_b FROM cand)),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL SELECT doc_b, doc_a FROM cand),
+  walk(node, label) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)
+  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster
+  FROM walk GROUP BY node
+"""
+)
+
+
+@query("q_dup_clusters", _CLUSTER_ORACLE)
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the MinHash
+    candidate-pair graph by iterative min-label propagation — the step that
+    turns pairwise near-dup hits into keep-one-per-cluster decisions.
+
+    Spark side: the standard fixpoint loop (join labels to neighbors, take
+    min, repeat until the label-sum checksum stabilizes) — the iterative
+    pattern Catalyst cannot express in one plan.  Oracle side: a recursive
+    CTE computing reachability labels; min reachable id == min component id
+    on an undirected graph.  Both converge to identical labels because the
+    min-label fixpoint is unique."""
+    cand = q_minhash_lsh(spark, sf)
+    nodes = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
+    edges = edges.persist()
+    prev_sum = None
+    for _ in range(20):  # cap >> graph diameter; loop exits at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label"))
+                .alias("label"),
+            )
+            .persist()
+        )
+        checksum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if checksum == prev_sum:
+            break
+        prev_sum = checksum
+    out = labels.select("doc_id", F.col("label").cast("long").alias("cluster"))
+    edges.unpersist()
+    return out
