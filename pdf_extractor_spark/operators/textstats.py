@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .registry import T, query
+from .registry import T, fan_out, query
 
 
 def _occ(padded: Column, pat: str) -> Column:
@@ -225,4 +225,162 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return grams.select("doc_id", g.alias("g")).groupBy("doc_id").agg(
         F.min("g").alias("fingerprint"),
         F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
+_QUERY_TERMS = ("data", "spark", "table")
+
+
+@query(
+    "q_bm25",
+    f"""
+    WITH words AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     (w, i) -> struct_pack(w := w, i := i))) AS u
+            FROM documents WHERE trim(text) <> '')),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words
+      WHERE w IN ('data', 'spark', 'table') GROUP BY doc_id, w),
+    df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents WHERE trim(text) <> '')
+    SELECT tf.doc_id,
+           round(sum(tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df)), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    GROUP BY tf.doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Term-weighted retrieval scoring (tf x rational idf — the BM25 shape
+    with a log-free idf so both engines compute bit-exact weights; only the
+    per-doc sum needs round()).  df is a tiny broadcast side; tf explodes
+    then filters to the query terms — at scale the filter pushes into the
+    tokenizer output before the shuffle."""
+    d = fan_out(
+        T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""), "doc_id"
+    )
+    words = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_QUERY_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: corpus size (driver-side constant)
+    scored = tf.join(F.broadcast(df_), "w").select(
+        "doc_id",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("s"), 6).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90
+    FROM documents GROUP BY lang
+    """,
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per language (corpus length profile).
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition; round(4) absorbs interpolation ulp."""
+    return T(spark, sf, "documents").groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+    )
+
+
+@query(
+    "q_histogram",
+    """
+    SELECT CAST(n_chars // 50 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (50-char buckets)."""
+    return T(spark, sf, "documents").groupBy(
+        F.floor(F.col("n_chars") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q_sessionize",
+    """
+    SELECT user_id, CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL THEN 0
+                    WHEN date_diff('microsecond',
+                                   lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id),
+                                   ts) > 1800000000 THEN 1
+                    ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative-sum of
+    session boundaries — the batch formulation of the stateful streaming
+    operator (streaming/stateful.py).  All logic is integer microsecond
+    arithmetic: engine-exact."""
+    e = T(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_us.isNull(), 0).when(gap_us > 1_800_000_000, 1)
+        .otherwise(0).alias("is_new"),
+    )
+    sessioned = marked.select(
+        "user_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    return sessioned.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    GROUP BY lang
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~12.5% corpus sample by content-free hash bucket
+    (md5 first nibble) — reproducible sampling for eval splits; unlike
+    rand()-based sampling it is stable across engines, runs, and retries."""
+    d = T(spark, sf, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return d.filter(nib.isin("0", "1")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
     )
