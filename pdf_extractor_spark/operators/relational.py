@@ -1054,3 +1054,120 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count(F.lit(1)).alias("n_nearby"))
     )
+
+
+@query(
+    "q_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long→wide): per-user counts by event type with an EXPLICIT
+    value list — open-ended pivots require a distinct-values pre-pass that
+    is a full extra scan at 100 TB."""
+    return (
+        T(spark, sf, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).cast("long").alias("click"),
+            F.coalesce("view", F.lit(0)).cast("long").alias("view"),
+            F.coalesce("purchase", F.lit(0)).cast("long").alias("purchase"),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all 4 aggregation levels in one pass)."""
+    return T(spark, sf, "documents").cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS mavg
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-spec window (3-event moving average per user): rowsBetween
+    arithmetic over a deterministic (ts, event_id) order — frame sums are
+    sequential, so the doubles match across engines before the round."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return T(spark, sf, "events").select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mavg")
+    )
+
+
+@query(
+    "q_fuzzy",
+    """
+    SELECT p_partkey, p_brand, CAST(levenshtein(lower(p_brand), 'brand#33') AS
+           BIGINT) AS dist
+    FROM part WHERE levenshtein(lower(p_brand), 'brand#33') <= 2
+    """,
+)
+def q_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy matching by edit distance (typo-tolerant dimension lookup).
+    At scale this runs per-row against a broadcast pattern set, never as a
+    string cross-join."""
+    p = T(spark, sf, "part")
+    dist = F.levenshtein(F.lower(F.col("p_brand")), F.lit("brand#33"))
+    return p.filter(dist <= 2).select(
+        "p_partkey", "p_brand", dist.cast("long").alias("dist")
+    )
+
+
+@query(
+    "q_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           CAST(len(list_intersect(list_distinct(ws),
+                ['the','a','and','of','to'])) AS BIGINT) AS n_stop,
+           CAST(len(list_filter(ws, w -> length(w) >= 6)) AS BIGINT) AS n_long
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents WHERE trim(text) <> '')
+    """,
+)
+def q_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array algebra on tokenized docs (distinct/intersect/filter) — outputs
+    SIZES only: element order of array_distinct/intersect differs between
+    engines, cardinalities don't."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "and", "of", "to")])
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+        F.size(F.array_intersect(F.array_distinct(ws), stop)).cast("long")
+        .alias("n_stop"),
+        F.size(F.filter(ws, lambda w: F.length(w) >= 6)).cast("long")
+        .alias("n_long"),
+    )
