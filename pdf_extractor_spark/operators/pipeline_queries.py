@@ -141,15 +141,28 @@ def q_extract_blocks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q_pipeline_kinds")  # rows-only: PDF/raw corpora aren't SQL-expressible
+@query(
+    "q_pipeline_kinds",
+    # PDF/raw payload generation isn't SQL-expressible, but the corpus is a
+    # pure function of (seed=42, doc_id) — so the expected per-kind summary
+    # for the first 300 docs is a CONSTANT, precomputed by running the
+    # kernels single-process (the same goldens discipline as tests/golden/).
+    """
+    SELECT * FROM (VALUES
+      ('html', 'ok', CAST(210 AS BIGINT), CAST(210 AS BIGINT)),
+      ('pdf',  'ok', CAST(47  AS BIGINT), CAST(109 AS BIGINT)),
+      ('raw',  'ok', CAST(43  AS BIGINT), CAST(43  AS BIGINT)))
+      t(kind, status, n_docs, total_pages)
+    """,
+)
 def q_pipeline_kinds(spark: SparkSession, sf: str) -> DataFrame:
-    """Mixed-dialect corpus smoke (OP-01/59/64/65): generate the deterministic
-    synthetic corpus (html+pdf+raw) executor-side and summarize per kind.
-    The per-byte goldens for this path live in tests/test_goldens.py."""
+    """Mixed-dialect corpus gate (OP-01/59/64/65): generate the deterministic
+    synthetic corpus (html+pdf+raw, seed=42, 300 docs) executor-side, run the
+    full kernel dispatch, summarize per kind — and match the literal expected
+    values.  Per-byte goldens for this path live in tests/test_goldens.py."""
     from ..sources.pages import corpus_df
 
-    n = 120 if sf.endswith("0.001") else 300
-    pages = corpus_df(spark, n, parts=8)
+    pages = corpus_df(spark, 300, parts=8)
     ext = with_extraction(pages)
     return (
         ext.select(F.col("ext.kind").alias("kind"),
