@@ -234,3 +234,93 @@ def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("vec_a", "vec_b")
     )
+
+
+@query(
+    "q_ann_ivf",
+    "WITH "
+    + _DIMS_SQL
+    + """,
+  cents AS (
+    SELECT vec_id AS cid, dim, v AS cv FROM dims WHERE vec_id < 8),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY round(sum((d.v - c.cv) *
+                                                   (d.v - c.cv)), 6), c.cid)
+               AS rn
+      FROM dims d JOIN cents c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.cid)
+    WHERE rn = 1),
+  cand AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id
+    FROM assign q JOIN assign c
+      ON q.cid = c.cid AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+    SELECT q_id, CAST(rn AS BIGINT) AS rn, cand_id FROM (
+      SELECT x.q_id, x.cand_id,
+             row_number() OVER (PARTITION BY x.q_id
+                                ORDER BY x.c DESC, x.cand_id) AS rn
+      FROM (
+        SELECT cd.q_id, cd.cand_id,
+               round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS c
+        FROM cand cd
+        JOIN dims a ON a.vec_id = cd.q_id
+        JOIN dims b ON b.vec_id = cd.cand_id AND b.dim = a.dim
+        JOIN norms na ON na.vec_id = cd.q_id
+        JOIN norms nb ON nb.vec_id = cd.cand_id
+        GROUP BY cd.q_id, cd.cand_id, na.nrm, nb.nrm) x)
+    WHERE rn <= 3
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: a training-free coarse quantizer (centroids = the
+    first 8 vectors — deterministic, no k-means iterations to reproduce),
+    every vector assigned to its nearest centroid cell, search probes ONLY
+    the query's cell, exact cosine re-ranks to top-3.
+
+    The scale story vs brute force: assignment is one pass over N, search
+    cost ∝ cell size (~N/K), and cells are the partition key — the same
+    inverted-file trade real IVF indexes make; swapping in k-means centroids
+    changes recall, not the plan shape."""
+    dims = _dims(spark, sf)
+    norms = _norms(dims)
+    cents = dims.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv")
+    )
+    d2 = F.round(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))), 6)
+    dist = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(d2.alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "cid"
+    )
+    cand = q.join(assign, "cid").filter(F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("cand_id")
+    )
+    da = dims.select(F.col("vec_id").alias("q_id"), "dim", F.col("v").alias("va"))
+    db = dims.select(F.col("vec_id").alias("cand_id"), "dim", F.col("v").alias("vb"))
+    dots = (
+        cand.join(da, "q_id").join(db, ["cand_id", "dim"])
+        .groupBy("q_id", "cand_id")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("q_id"), F.col("nrm").alias("qn"))
+    nb = norms.select(F.col("vec_id").alias("cand_id"), F.col("nrm").alias("cn"))
+    cos = F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    return (
+        dots.join(F.broadcast(na), "q_id").join(F.broadcast(nb), "cand_id")
+        .select("q_id", "cand_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("rn").cast("long").alias("rn"), "cand_id")
+    )
