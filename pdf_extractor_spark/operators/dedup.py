@@ -316,7 +316,13 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     labels = nodes.select("doc_id", F.col("doc_id").alias("label")).persist()
     edges = edges.persist()
     prev_sum = None
-    for _ in range(20):  # cap >> graph diameter; loop exits at fixpoint
+    # Loop to the checksum fixpoint — min-label needs up to graph-diameter
+    # iterations, which no fixed small cap can promise for chained near-dups.
+    # The generous cap turns non-convergence (a bug) into a loud failure
+    # instead of silently returning wrong clusters.
+    max_iters = 1000
+    converged = False
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -335,8 +341,15 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if checksum == prev_sum:
+            converged = True
             break
         prev_sum = checksum
+    if not converged:
+        raise RuntimeError(
+            f"q_dup_clusters: min-label propagation did not converge in "
+            f"{max_iters} iterations — graph diameter exceeds cap or labels "
+            f"oscillate (bug); refusing to return unconverged clusters"
+        )
     out = labels.select("doc_id", F.col("label").cast("long").alias("cluster"))
     edges.unpersist()
     return out

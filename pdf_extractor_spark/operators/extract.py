@@ -80,9 +80,12 @@ def extracted_docs_frame(df, payload_col: str = "html"):
             out = {n: pdf[n].reset_index(drop=True) for n in pass_names}
             for name, _t in _DOC_DERIVED:
                 if name == "metadata_json":
+                    # Canonical form: sorted keys + compact separators ==
+                    # Spark to_json(map_from_entries(array_sort(...))) used
+                    # by the has_ext path — both paths byte-equal by test.
                     out[name] = [
                         json.dumps(r["metadata"], sort_keys=True,
-                                   ensure_ascii=False)
+                                   ensure_ascii=False, separators=(",", ":"))
                         for r in rows
                     ]
                 else:

@@ -1,0 +1,158 @@
+"""OCR-shaped extraction chain (SURVEY.md OP-62; reference ocr_extractor.py).
+
+No OCR engine ships in this container (the reference shells out to
+pytesseract, /root/reference/pdf_extractor/extractors/ocr_extractor.py:62-178),
+so the *recognition* step is a deterministic synthetic glyph-box model — but
+every OTHER stage of the reference's chain runs for real, end-to-end from the
+binary payload:
+
+    payload bytes -> kernel parse (DOM/PDF) -> content words        (real)
+      -> word boxes (x, y layout, 6 words/line) + confidence        (synthetic,
+         conf = pure function of md5(word) — engine-portable)
+      -> confidence filter  (ref ocr_extractor.py:137-141, conf>=60)
+      -> line grouping by y (ref :326-341 group into lines)
+      -> in-line x sort     (ref :337 sort(key=x))
+      -> line text reassembly
+
+The kernel deliberately emits boxes in a scrambled (but deterministic) order,
+so the downstream (y, x) relational sort is load-bearing, exactly like real
+OCR output whose word order follows recognition, not reading order.
+
+The driver oracle restates the whole chain in SQL over ``documents.text``
+(the corpus the wrapped pages carry), making this a true value-gate on the
+executor-side Python path, same discipline as q_extract_text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.dispatch import extract_document
+from .registry import query
+
+__all__ = ["ocr_word_boxes", "ocr_lines", "q_ocr_lines"]
+
+WORDS_PER_LINE = 6
+X_ORIGIN, X_STEP = 72.0, 90.0
+Y_ORIGIN, Y_STEP = 720.0, 16.0
+MIN_CONF = 60
+
+_BOX_SCHEMA = "doc_id long, w string, x0 double, y0 double, conf long"
+
+
+def _word_conf(word: str) -> int:
+    """Synthetic recognition confidence in [50, 95]: a pure function of the
+    word bytes (md5 first nibble), identical in Python/Spark SQL/DuckDB."""
+    nibble = int(hashlib.md5(word.encode("utf-8")).hexdigest()[0], 16)
+    return 50 + 3 * nibble
+
+
+def _boxes_for_payload(doc_id: int, payload: bytes) -> list[tuple]:
+    """binary -> scrambled word boxes.  Content words come from the REAL
+    kernel parse (DOM body paragraphs / PDF lines feed the same path)."""
+    r = extract_document(payload)
+    words: list[str] = []
+    for page in r["pages"]:
+        for b in page["blocks"]:
+            if b["is_content"] and b["tag"] == "p" and b["text"]:
+                words.extend(b["text"].split(" "))
+    rows = []
+    for idx, w in enumerate(words):
+        line_no, xslot = divmod(idx, WORDS_PER_LINE)
+        rows.append((
+            doc_id, w,
+            X_ORIGIN + X_STEP * xslot,
+            Y_ORIGIN - Y_STEP * line_no,
+            _word_conf(w),
+        ))
+    # Deterministic scramble: recognition order != reading order, so the
+    # downstream (y, x) sort is observable (reference sorts at :337).
+    rows.sort(key=lambda t: hashlib.md5(f"{t[2]}:{t[3]}:{t[1]}".encode()).hexdigest())
+    return rows
+
+
+def ocr_word_boxes(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+    """Pages frame (with doc_id + binary payload) -> long word-box table.
+    One Arrow pass, variable fan-out per document (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                out.extend(_boxes_for_payload(int(doc_id), bytes(b) if b is not None else b""))
+            yield pd.DataFrame(out, columns=["doc_id", "w", "x0", "y0", "conf"])
+
+    return pages.select("doc_id", payload_col).mapInPandas(run, schema=_BOX_SCHEMA)
+
+
+def ocr_lines(boxes: DataFrame, min_conf: int = MIN_CONF) -> DataFrame:
+    """Word boxes -> recognized lines: conf filter, group by line y, sort by
+    x inside the line, reassemble text.  Pure relational — one shuffle on
+    (doc_id, y0), the corpus partition key plus a narrow secondary."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("x0", "w"))), lambda s: s["w"]
+    )
+    return (
+        boxes.filter(F.col("conf") >= min_conf)
+        .groupBy("doc_id", "y0")
+        .agg(
+            F.concat_ws(" ", ordered).alias("line_text"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.min("conf").cast("long").alias("min_conf"),
+        )
+        .select(
+            "doc_id",
+            ((F.lit(Y_ORIGIN) - F.col("y0")) / Y_STEP).cast("long").alias("line_no"),
+            "line_text",
+            "n_words",
+            "min_conf",
+        )
+    )
+
+
+@query(
+    "q_ocr_lines",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS body
+      FROM documents
+      WHERE CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 8),
+    words AS (
+      SELECT doc_id, u.w AS w, u.i - 1 AS idx
+      FROM (SELECT doc_id,
+                   unnest(list_transform(regexp_split_to_array(body, ' '),
+                                         (w, i) -> struct_pack(w := w, i := i)))
+                     AS u
+            FROM docs)),
+    conf AS (
+      SELECT doc_id, w,
+             CAST(idx // {WORDS_PER_LINE} AS BIGINT) AS line_no,
+             idx % {WORDS_PER_LINE} AS xslot,
+             50 + 3 * (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+               AS conf
+      FROM words)
+    SELECT doc_id, line_no,
+           string_agg(w, ' ' ORDER BY xslot) AS line_text,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(min(conf) AS BIGINT) AS min_conf
+    FROM conf
+    WHERE conf >= {MIN_CONF}
+    GROUP BY doc_id, line_no
+    """,
+)
+def q_ocr_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """OP-62 end-to-end gate: wrap documents as real HTML pages, run the full
+    binary -> DOM kernel -> glyph boxes -> conf>=60 -> line group -> x-sort
+    chain, and match the SQL-stated expectation per (doc, line).  The DOM
+    content gate (MIN_CONTENT_WORDS=8) is part of the contract: short docs
+    produce no lines."""
+    from .pipeline_queries import pages_from_documents
+
+    pages = pages_from_documents(spark, sf)
+    return ocr_lines(ocr_word_boxes(pages))

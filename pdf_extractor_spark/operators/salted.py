@@ -32,6 +32,7 @@ def salted_agg(
     n_salts: int = 16,
     counts: list[tuple[str, str]] = (),
     sums: list[tuple[str, str]] = (),
+    salt_col: Column | None = None,
 ) -> DataFrame:
     """Two-phase salted groupBy.
 
@@ -39,11 +40,17 @@ def salted_agg(
     Result is value-identical to the plain ``df.groupBy(keys).agg(...)`` —
     proven by the driver oracle (q_salted_agg) — but the first shuffle
     spreads each hot key over ``n_salts`` partitions.
+
+    ``salt_col``: optional deterministic per-row expression (e.g.
+    ``F.col("url")``) hashed into the salt.  Defaults to hashing ALL input
+    columns.  The salt MUST be a deterministic function of row content: a
+    nondeterministic shuffle key (rand / monotonically_increasing_id) is the
+    SPARK-23207-class hazard — on partial stage replay a re-run map task
+    re-salts rows differently, so reducers that fetched the old output vs
+    reducers fetching the new one can double-count or drop partials.
     """
-    # Row-varying salt; any value distribution works because the aggregates
-    # are algebraic — a task retry regenerates its whole partial partition,
-    # so differing salt values across attempts cannot double-count.
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    basis = [salt_col] if salt_col is not None else [F.col(c) for c in df.columns]
+    salt = F.pmod(F.xxhash64(*basis), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
@@ -64,12 +71,14 @@ def host_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
     with_host = pages.select(
         host_of(F.col("url")).alias("host"),
         F.length("html").cast("long").alias("n_bytes"),
+        "url",
     )
     return salted_agg(
         with_host, ["host"], n_salts,
         counts=[("n_docs", "*")],
         sums=[("total_bytes", "n_bytes")],
-    )
+        salt_col=F.col("url"),  # unique per row -> uniform deterministic salt
+    ).select("host", "n_docs", "total_bytes")
 
 
 @query(
@@ -94,12 +103,13 @@ def q_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("u"), F.col("user_id").cast("string"))
     )
     skewed = e.select(
-        k.alias("k"), F.col("value").cast("decimal(18,2)").alias("v")
+        k.alias("k"), F.col("value").cast("decimal(18,2)").alias("v"), "event_id"
     )
     out = salted_agg(
         skewed, ["k"], n_salts=16,
         counts=[("n_events", "*")],
         sums=[("total_value", "v")],
+        salt_col=F.col("event_id"),  # unique, deterministic across retries
     )
     return out.select(
         "k",

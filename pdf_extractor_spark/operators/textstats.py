@@ -272,10 +272,13 @@ def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: corpus size (driver-side constant)
-    scored = tf.join(F.broadcast(df_), "w").select(
-        "doc_id",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("s"),
+    # Corpus size folded in as a 1-row aggregate broadcast cross-join: no
+    # driver-side .count() round trip, no literal baked into the plan.
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("s"))
     )
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("s"), 6).alias("score"),

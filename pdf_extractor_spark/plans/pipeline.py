@@ -131,8 +131,15 @@ def extracted_docs(df: DataFrame, has_ext: bool = False) -> DataFrame:
         .alias("total_tables"),
         _sum_field(pages, lambda p: F.size(p["links"])).cast("long")
         .alias("total_links"),
+        # Canonical metadata JSON: entries sorted by key, compact separators —
+        # byte-equal to the slim path's json.dumps(sort_keys=True,
+        # separators=(",", ":")) regardless of map insertion order.  Column
+        # order (metadata_json before n_bytes) also matches the slim path so
+        # the docs table bytes don't depend on write_pages_table mode.
+        F.to_json(
+            F.map_from_entries(F.array_sort(F.map_entries(F.col("ext.metadata"))))
+        ).alias("metadata_json"),
         F.col("n_bytes"),
-        F.to_json(F.col("ext.metadata")).alias("metadata_json"),
     )
 
 

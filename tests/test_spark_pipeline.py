@@ -116,10 +116,12 @@ def test_slim_equals_shared_pass(spark, fixture_df):
         .drop("html"),
         has_ext=True,
     )
-    # metadata_json key order may differ (python json.dumps vs JVM to_json)
-    cols = [c for c in slim.columns if c != "metadata_json"]
-    a = {tuple(r[c] for c in cols) for r in slim.select(cols).collect()}
-    b = {tuple(r[c] for c in cols) for r in shared.select(cols).collect()}
+    # Column ORDER and every value — including the canonical metadata_json —
+    # must match, so docs-table bytes don't depend on write_pages_table mode.
+    assert slim.columns == shared.columns
+    cols = slim.columns
+    a = {tuple(r[c] for c in cols) for r in slim.collect()}
+    b = {tuple(r[c] for c in cols) for r in shared.collect()}
     assert a == b
 
 
