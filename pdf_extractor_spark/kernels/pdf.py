@@ -9,11 +9,15 @@ text_extractor.py:33-64,123-153, whose ``get_text(sort=True)`` delegates the
 same (y, x) ordering to native MuPDF) and image xref walk
 (/root/reference/pdf_extractor/extractors/image_extractor.py:111-121).
 
-Scope: the honest PDF 1.4 dialect produced by ``tests/gen_fixtures.py`` —
-classic xref tables (not xref streams), FlateDecode or plain streams,
-Latin-1-ish simple fonts.  Out-of-dialect constructs raise ``PdfError`` so
-the pipeline can route the row to the error side-channel instead of crashing
-the task (SURVEY.md OP-32 mapping).
+Scope: the PDF 1.4-1.5 dialects produced by ``tests/gen_fixtures.py`` —
+classic xref tables AND cross-reference streams (/Type /XRef with /W
+field widths, /Index subsections, and PNG predictors), object streams
+(/Type /ObjStm compressed objects), and the filter set FlateDecode,
+ASCIIHexDecode, ASCII85Decode, RunLengthDecode (chainable, with
+/DecodeParms predictor support), Latin-1-ish simple fonts.  Remaining
+out-of-dialect constructs (CMap/ToUnicode composite fonts, encryption)
+raise ``PdfError`` so the pipeline can route the row to the error
+side-channel instead of crashing the task (SURVEY.md OP-32 mapping).
 
 Deterministic: pure function of the input bytes.
 """
@@ -240,16 +244,135 @@ class _Lexer:
         return out
 
 
+# --------------------------------------------------------------------------
+# Stream filters (PDF 32000-1 §7.4) — hand-rolled, no codec shared with the
+# fixture generator (which uses base64.a85encode / its own RLE packer).
+# --------------------------------------------------------------------------
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hx = _WS_RE.sub(b"", data)
+    if len(hx) % 2:
+        hx += b"0"  # odd count: implicit trailing 0 (§7.4.2)
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except ValueError as e:
+        raise PdfError(f"ASCIIHexDecode: {e}") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = _WS_RE.sub(b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for ch in data:
+        if ch == 0x7A:  # 'z' == four zero bytes, only between groups
+            if group:
+                raise PdfError("ASCII85Decode: 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= ch <= 0x75):
+            raise PdfError(f"ASCII85Decode: bad byte {ch:#x}")
+        group.append(ch - 33)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise PdfError("ASCII85Decode: single trailing digit")
+        k = len(group)
+        padded = group + [84] * (5 - k)  # pad with 'u'
+        n = 0
+        for g in padded:
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:  # EOD
+            break
+        if length < 128:
+            out += data[i + 1:i + 2 + length]
+            i += 2 + length
+        else:
+            out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse PNG row filters (predictors 10-15; xref streams conventionally
+    use Up=12).  Each row: 1 filter-tag byte + columns*colors*bpc/8 bytes."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        tag = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        if len(row) < rowlen:
+            raise PdfError("predictor: truncated row")
+        if tag == 0:  # None
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise PdfError(f"unknown PNG filter tag {tag}")
+        out += row
+        prev = row
+        pos += 1 + rowlen
+    return bytes(out)
+
+
 class Document:
-    """Parsed PDF: xref map + lazy object cache."""
+    """Parsed PDF: xref map + lazy object cache.
+
+    ``xref`` maps object number -> byte offset (classic entries and type-1
+    xref-stream entries); ``xref_compressed`` maps object number ->
+    (object-stream number, index) for type-2 entries (PDF 1.5 /ObjStm)."""
 
     def __init__(self, data: bytes) -> None:
         if not data.startswith(b"%PDF-"):
             raise PdfError("missing %PDF- header")
         self.data = data
         self.xref: dict[int, int] = {}
+        self.xref_compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_loaded: set[int] = set()
         self._parse_xref_chain()
 
     # -- xref -------------------------------------------------------------
@@ -271,7 +394,7 @@ class Document:
     def _parse_xref_section(self, pos: int):
         lx = _Lexer(self.data, pos)
         if not lx.peek_keyword(b"xref"):
-            raise PdfError("xref streams not supported (out of dialect)")
+            return self._parse_xref_stream(pos)  # PDF 1.5+ /Type /XRef
         lx.expect(b"xref")
         while True:
             lx._skip_ws()
@@ -297,17 +420,101 @@ class Document:
                     self.xref[start + i] = int(em.group(1))
                 lx.pos += 20 if entry[18:19] in (b"\r", b"\n", b" ") else em.end()
 
+    def _parse_xref_stream(self, pos: int):
+        """Cross-reference STREAM section (PDF 32000-1 §7.5.8): the trailer
+        dict IS the stream dict; entries are packed binary rows of /W field
+        widths over the /Index subsections."""
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[pos:pos + 40])
+        if not m:
+            raise PdfError(f"bad xref section at {pos}")
+        lx = _Lexer(self.data, pos + m.end())
+        obj = lx.parse_object()
+        if not (isinstance(obj, tuple) and obj and obj[0] == "__stream__"):
+            raise PdfError("startxref target is neither 'xref' nor a stream")
+        d, data_start = obj[1], obj[2]
+        length = d.get(Name("Length"))
+        if not isinstance(length, int):
+            # the xref stream bootstraps object access — /Length must be direct
+            raise PdfError("xref stream with indirect /Length")
+        st = Stream(d, self.data[data_start:data_start + length])
+        if d.get(Name("Type")) != "XRef":
+            raise PdfError("startxref stream is not /Type /XRef")
+        data = self.stream_data(st)
+        w = [int(x) for x in d.get(Name("W")) or []]
+        if len(w) != 3:
+            raise PdfError(f"bad /W {w!r}")
+        size = int(d.get(Name("Size")) or 0)
+        index = d.get(Name("Index")) or [0, size]
+        rowlen = sum(w)
+        rows = [data[i:i + rowlen] for i in range(0, len(data) - rowlen + 1, rowlen)]
+        it = iter(rows)
+        for start, count in zip(index[0::2], index[1::2]):
+            for num in range(int(start), int(start) + int(count)):
+                try:
+                    row = next(it)
+                except StopIteration as e:
+                    raise PdfError("xref stream: short data") from e
+                fields = []
+                off = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[off:off + width], "big") if width else None
+                    )
+                    off += width
+                ftype = fields[0] if fields[0] is not None else 1  # default type 1
+                if num in self.xref or num in self.xref_compressed:
+                    continue  # first (newest) section wins
+                if ftype == 1:
+                    self.xref[num] = fields[1]
+                elif ftype == 2:
+                    self.xref_compressed[num] = (fields[1], fields[2] or 0)
+                # ftype 0: free entry — skip
+        if not self.trailer:
+            self.trailer = {
+                k: d[k] for k in (Name("Root"), Name("Info"), Name("Size"))
+                if k in d
+            }
+        prev = d.get(Name("Prev"))
+        return int(prev) if prev is not None else None
+
     # -- object access ----------------------------------------------------
     def resolve(self, obj):
         while isinstance(obj, Ref):
             obj = self.get_object(obj[0])
         return obj
 
+    def _load_objstm(self, stm_num: int) -> None:
+        """Parse ALL objects of one /ObjStm into the cache (one decode pass
+        serves every compressed object it holds)."""
+        if stm_num in self._objstm_loaded:
+            return
+        self._objstm_loaded.add(stm_num)
+        stm = self.get_object(stm_num)
+        if not isinstance(stm, Stream):
+            raise PdfError(f"object stream {stm_num} is not a stream")
+        if self.resolve(stm.dict.get(Name("Type"))) != "ObjStm":
+            raise PdfError(f"object {stm_num} is not /Type /ObjStm")
+        data = self.stream_data(stm)
+        n = int(self.resolve(stm.dict.get(Name("N"))) or 0)
+        first = int(self.resolve(stm.dict.get(Name("First"))) or 0)
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise PdfError("ObjStm: short pair header")
+        for i in range(n):
+            onum = int(header[2 * i])
+            ooff = int(header[2 * i + 1])
+            lx = _Lexer(data, first + ooff)
+            self._cache[onum] = lx.parse_object()
+
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
         off = self.xref.get(num)
         if off is None:
+            comp = self.xref_compressed.get(num)
+            if comp is not None:
+                self._load_objstm(comp[0])
+                return self._cache.get(num)
             return None
         lx = _Lexer(self.data, off)
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[off:off + 40])
@@ -330,20 +537,48 @@ class Document:
         if filt is None:
             return st.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(
+            st.dict.get(Name("DecodeParms")) or st.dict.get(Name("DP"))
+        )
+        parms_list = parms if isinstance(parms, list) else [parms] + [None] * (
+            len(filters) - 1
+        )
         data = st.raw
-        for f in filters:
+        for f, p in zip(filters, parms_list):
             f = self.resolve(f)
+            p = self.resolve(p)
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError(f"FlateDecode failed: {e}") from e
+                data = self._unpredict(data, p)
+            elif f == "ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _run_length_decode(data)
             elif f in ("DCTDecode", "JPXDecode"):
                 # compressed image payload — pass through as-is
                 return data
             else:
                 raise PdfError(f"unsupported filter {f}")
         return data
+
+    @staticmethod
+    def _unpredict(data: bytes, parms) -> bytes:
+        if not isinstance(parms, dict):
+            return data
+        pred = parms.get(Name("Predictor"), 1)
+        if not isinstance(pred, int) or pred <= 1:
+            return data
+        columns = int(parms.get(Name("Columns"), 1))
+        colors = int(parms.get(Name("Colors"), 1))
+        bpc = int(parms.get(Name("BitsPerComponent"), 8))
+        if pred >= 10:  # PNG predictors (per-row tag byte)
+            return _png_unpredict(data, columns, colors, bpc)
+        raise PdfError(f"unsupported predictor {pred}")  # TIFF pred 2
 
 
 # --------------------------------------------------------------------------

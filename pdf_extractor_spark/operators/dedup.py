@@ -258,6 +258,79 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return per_bit.groupBy("doc_id").agg(F.concat_ws("", ordered).alias("sketch"))
 
 
+@query(
+    "q_dedup_verify",
+    "WITH "
+    + _SHINGLES_SQL.format(cap=200)
+    + f""",
+  sig AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, range(0, {_N_HASHES}) r(seed)
+    GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+    FROM sig GROUP BY doc_id, CAST(seed // {_BAND_SIZE} AS INT)),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+  sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY c.doc_a, c.doc_b)
+  SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS n_common,
+         CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard,
+         CASE WHEN CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+              THEN 'dup' ELSE 'candidate' END AS verdict
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  """,
+)
+def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed 100-TB dedup plan (VERDICT.md item 6): exact Jaccard
+    verification scoped to the MinHash-LSH candidate pairs — never all-pairs.
+    The pairwise-join bound is STRUCTURAL: shingle joins run only for pairs
+    that already collided in a band bucket, so cost ∝ (candidate pairs x
+    shingles/doc), not N².  (The doc_id < 200 window comes from the shared
+    test-scale shingle CTE — it bounds the TEST corpus, not the algorithm;
+    at scale the same plan runs uncapped because the LSH bucket join is the
+    only quadratic-risk stage and banding bounds it.)
+
+    Each candidate pair gets its true Jaccard and a verdict at threshold
+    0.5 — the verify step the q_dedup_ngram docstring promises."""
+    cand = q_minhash_lsh(spark, sf)
+    sh = _shingles(spark, sf, 200)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    j = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("inter").cast("long").alias("n_common"),
+            j.alias("jaccard"),
+            F.when(j >= 0.5, "dup").otherwise("candidate").alias("verdict"),
+        )
+    )
+
+
 _CLUSTER_ORACLE = (
     "WITH RECURSIVE "
     + _SHINGLES_SQL.format(cap=200)

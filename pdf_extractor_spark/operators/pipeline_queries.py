@@ -145,8 +145,12 @@ def q_extract_blocks(spark: SparkSession, sf: str) -> DataFrame:
     "q_pipeline_kinds",
     # PDF/raw payload generation isn't SQL-expressible, but the corpus is a
     # pure function of (seed=42, doc_id) — so the expected per-kind summary
-    # for the first 300 docs is a CONSTANT, precomputed by running the
-    # kernels single-process (the same goldens discipline as tests/golden/).
+    # for the first 300 docs is a CONSTANT derived from the GENERATOR's own
+    # spec (gen_doc(with_spec=True): kind + planned page count per doc),
+    # independent of the extraction kernels under test.
+    # tests/test_pipeline_kinds_spec.py re-derives these values from the
+    # spec on every run, so a drifted constant fails before the driver sees
+    # it and a kernel bug cannot bake itself into the expectation.
     """
     SELECT * FROM (VALUES
       ('html', 'ok', CAST(210 AS BIGINT), CAST(210 AS BIGINT)),
@@ -158,8 +162,10 @@ def q_extract_blocks(spark: SparkSession, sf: str) -> DataFrame:
 def q_pipeline_kinds(spark: SparkSession, sf: str) -> DataFrame:
     """Mixed-dialect corpus gate (OP-01/59/64/65): generate the deterministic
     synthetic corpus (html+pdf+raw, seed=42, 300 docs) executor-side, run the
-    full kernel dispatch, summarize per kind — and match the literal expected
-    values.  Per-byte goldens for this path live in tests/test_goldens.py."""
+    full kernel dispatch, summarize per kind — and match the generator-spec
+    expectation.  Half the PDFs are the 1.5 dialect (xref/object streams,
+    mixed filters), so this also gates the modern parser paths.  Per-byte
+    goldens for this path live in tests/test_goldens.py."""
     from ..sources.pages import corpus_df
 
     pages = corpus_df(spark, 300, parts=8)
@@ -171,4 +177,66 @@ def q_pipeline_kinds(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("kind", "status")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_pages").cast("long").alias("total_pages"))
+    )
+
+
+_N_DIALECT_DOCS = 100
+_DIALECT_TOTAL_PAGES = 268  # generator spec: sum of planned page counts
+                            # (scripts/derive_kind_expectations.py)
+
+
+@query(
+    "q_pdf_dialects",
+    # Structural (non-circular) oracle: parsing the SAME document serialized
+    # as classic PDF 1.4 and as modern PDF 1.5 (xref stream + ObjStm + mixed
+    # ASCIIHex/ASCII85/RunLength/Flate filters) must yield byte-identical
+    # text and page structure; total pages comes from the generator's page
+    # plan, not from the parser.
+    f"""
+    SELECT CAST({_N_DIALECT_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_DIALECT_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_DIALECT_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_dialects(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF 1.5 dialect gate (VERDICT.md item 3): serialize 100 documents in
+    BOTH dialects executor-side, parse both with the kernel, and require
+    text/page equality per document plus the generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                rc = parse_pdf(make_pdf(
+                    _random.Random(f"dialect-gate:{doc_id}"), doc_id,
+                    dialect="classic")[0])
+                rm = parse_pdf(make_pdf(
+                    _random.Random(f"dialect-gate:{doc_id}"), doc_id,
+                    dialect="modern")[0])
+                same = (
+                    [p["text"] for p in rc["pages"]]
+                    == [p["text"] for p in rm["pages"]]
+                    and rc["metadata"] == rm["metadata"]
+                    and rc["n_pages"] == rm["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rc["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_DIALECT_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
     )

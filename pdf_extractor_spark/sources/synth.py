@@ -110,9 +110,79 @@ def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
     return b"\n".join(chunks) + b"\n"
 
 
+# --- modern-dialect (PDF 1.5) encoding helpers ---------------------------
+# Deliberately DIFFERENT implementations from the parser's decoders
+# (stdlib base64.a85encode / binascii.hexlify / a naive RLE packer vs the
+# parser's hand-rolled decoders): generator/parser honesty preserved.
+def _rle_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def _png_up_predict(data: bytes, rowlen: int) -> bytes:
+    """PNG Up (tag 2) per-row filter for xref-stream /Predictor 12."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for pos in range(0, len(data), rowlen):
+        row = data[pos:pos + rowlen]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes]:
+    """Pick a filter chain for a content stream; return (dict_extra, data).
+    Filter array order is DECODE order, so encoding applies in reverse."""
+    import base64
+    import binascii
+
+    choice = enc_rng.randrange(5)
+    if choice == 0:
+        return b"/Filter /FlateDecode", zlib.compress(content, 6)
+    if choice == 1:
+        return b"/Filter /ASCIIHexDecode", binascii.hexlify(content) + b">"
+    if choice == 2:
+        return b"/Filter /ASCII85Decode", base64.a85encode(content) + b"~>"
+    if choice == 3:
+        return b"/Filter /RunLengthDecode", _rle_encode(content)
+    # chain: decoder runs ASCII85 then Flate
+    return (
+        b"/Filter [/ASCII85Decode /FlateDecode]",
+        base64.a85encode(zlib.compress(content, 6)) + b"~>",
+    )
+
+
 def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
-             with_images: bool = True) -> tuple[bytes, list[list[str]]]:
-    """Return (pdf_bytes, per-page expected reading-order lines)."""
+             with_images: bool = True, dialect: str = "classic",
+             ) -> tuple[bytes, list[list[str]]]:
+    """Return (pdf_bytes, per-page expected reading-order lines).
+
+    ``dialect='classic'``: PDF 1.4, classic xref table, Flate content.
+    ``dialect='modern'``: PDF 1.5 — cross-reference STREAM (optionally with
+    PNG /Predictor 12), all non-stream objects packed into a /Type /ObjStm
+    object stream, and content streams encoded with a per-stream filter mix
+    (Flate / ASCIIHex / ASCII85 / RunLength / ASCII85+Flate chain).  The
+    encoding choices draw from a SEPARATE seeded rng so the document text is
+    byte-identical across dialects — only the serialization layer differs.
+    """
     if n_pages is None:
         n_pages = rng.randint(1, 4)
     page_lines: list[list[str]] = []
@@ -120,7 +190,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         n = rng.randint(3, 10)
         page_lines.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
 
+    enc_rng = random.Random(f"enc:{doc_id}") if dialect == "modern" else None
     objs: dict[int, bytes] = {}
+    stream_ids: set[int] = set()
     next_id = 3
     font_id = next_id
     next_id += 1
@@ -129,13 +201,17 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     kid_ids: list[int] = []
     for lines in page_lines:
         content = _content_stream(rng, lines)
-        comp = zlib.compress(content, 6)
+        if enc_rng is None:
+            fdict, data = b"/Filter /FlateDecode", zlib.compress(content, 6)
+        else:
+            fdict, data = _encode_stream(enc_rng, content)
         cont_id = next_id
         next_id += 1
         objs[cont_id] = (
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
-            + comp + b"\nendstream"
+            b"<< /Length %d %s >>\nstream\n" % (len(data), fdict)
+            + data + b"\nendstream"
         )
+        stream_ids.add(cont_id)
         xobj_entries = b""
         if with_images and rng.random() < 0.6:
             n_imgs = rng.randint(1, 2)
@@ -155,6 +231,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                     b"/Filter /FlateDecode /Length %d >>\nstream\n"
                     % (w, h, len(payload)) + payload + b"\nendstream"
                 )
+                stream_ids.add(img_id)
                 parts.append(b"/Im%d %d 0 R" % (k, img_id))
             xobj_entries = b" /XObject << " + b" ".join(parts) + b" >>"
         page_id = next_id
@@ -178,21 +255,76 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         + b"] /Count %d >>" % len(kid_ids)
     )
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets: dict[int, int] = {}
-    for num in sorted(objs):
+    if dialect == "classic":
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        max_id = max(objs)
+        out += b"xref\n0 %d\n" % (max_id + 1)
+        out += b"0000000000 65535 f \n"
+        for num in range(1, max_id + 1):
+            out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, info_id, xref_off)
+        )
+        return bytes(out), page_lines
+
+    # ---- modern dialect: ObjStm for non-stream objects + xref stream ----
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(stream_ids):
         offsets[num] = len(out)
         out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
-    xref_off = len(out)
-    max_id = max(objs)
-    out += b"xref\n0 %d\n" % (max_id + 1)
-    out += b"0000000000 65535 f \n"
-    for num in range(1, max_id + 1):
-        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    embedded = sorted(n for n in objs if n not in stream_ids)
+    body = bytearray()
+    offs: list[int] = []
+    for n in embedded:
+        offs.append(len(body))
+        body += objs[n] + b"\n"
+    pair_hdr = b" ".join(b"%d %d" % (n, o) for n, o in zip(embedded, offs)) + b" "
+    comp = zlib.compress(bytes(pair_hdr) + bytes(body), 6)
+    objstm_id = next_id
+    next_id += 1
+    offsets[objstm_id] = len(out)
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_id + 1, info_id, xref_off)
+        b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (objstm_id, len(embedded), len(pair_hdr), len(comp))
+        + comp + b"\nendstream\nendobj\n"
     )
+    xref_id = next_id
+    next_id += 1
+    xref_off = len(out)
+    offsets[xref_id] = xref_off
+    size = xref_id + 1
+    rows = bytearray()
+    for num in range(size):  # W = [1, 3, 2]
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        else:
+            t, f2, f3 = 2, objstm_id, embedded.index(num)
+        rows.append(t)
+        rows += f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+    use_pred = enc_rng.random() < 0.5
+    if use_pred:
+        xdata = zlib.compress(_png_up_predict(bytes(rows), 6), 6)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 6 >>"
+    else:
+        xdata = zlib.compress(bytes(rows), 6)
+        parms = b""
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 2] /Root 1 0 R "
+        b"/Info %d 0 R /Filter /FlateDecode%s /Length %d >>\nstream\n"
+        % (xref_id, size, info_id, parms, len(xdata))
+        + xdata + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out), page_lines
 
 
@@ -281,8 +413,16 @@ _LANGS = ["en", "en", "en", "de", "ja", "und"]
 
 
 def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
-            oversize_frac: float = 0.01, oversize_bytes: int = 1 << 20) -> dict:
-    """One deterministic corpus row (pure function of (doc_id, seed))."""
+            oversize_frac: float = 0.01, oversize_bytes: int = 1 << 20,
+            with_spec: bool = False) -> dict:
+    """One deterministic corpus row (pure function of (doc_id, seed)).
+
+    ``with_spec=True`` attaches ``_spec = {kind, n_pages}`` — the GENERATOR's
+    own statement of what a correct parser must report (pdf page count comes
+    from the page plan, html/raw are single-page).  This is the
+    kernel-independent ground truth behind the q_pipeline_kinds oracle
+    constants; the generator emits only well-formed payloads, so expected
+    status is 'ok' by construction."""
     rng = random.Random((seed << 32) ^ doc_id)
     lang = rng.choice(_LANGS)
     if rng.random() < host_skew:
@@ -290,6 +430,7 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
     else:
         host = f"host{rng.randint(0, 199):03d}.example.org"
     r = rng.random()
+    n_pages = 1
     if r < 0.70:
         kind = "html"
         oversized = rng.random() < oversize_frac
@@ -297,17 +438,26 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
                             min_bytes=oversize_bytes if oversized else 0)
     elif r < 0.90:
         kind = "pdf"
-        payload, _ = make_pdf(rng, doc_id)
+        # Half the PDFs use the PDF 1.5 dialect (xref/object streams, mixed
+        # filters).  Parity keys the choice so adding the dialect perturbed
+        # no rng draw: document TEXT is unchanged vs the classic-only corpus.
+        payload, page_lines = make_pdf(
+            rng, doc_id, dialect="modern" if doc_id % 2 else "classic"
+        )
+        n_pages = len(page_lines)
     else:
         kind = "raw"
         payload = make_raw(rng, doc_id)
-    return {
+    row = {
         "url": f"https://{host}/{lang}/{kind}/{doc_id:08d}",
         "warc_ts": _BASE_TS + _dt.timedelta(seconds=doc_id * 37),
         "html": payload,
         "text": "",
         "lang": lang,
     }
+    if with_spec:
+        row["_spec"] = {"kind": kind, "n_pages": n_pages}
+    return row
 
 
 def gen_corpus(n_docs: int, seed: int = 42, **kw):

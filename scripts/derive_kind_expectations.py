@@ -1,0 +1,51 @@
+"""Derive the q_pipeline_kinds / q_pdf_dialects oracle constants from the
+corpus GENERATOR's spec — independent of the extraction kernels under test.
+
+The generator (sources/synth.gen_doc) states, per document, which dialect it
+emitted and how many pages it planned; a correct parser must report exactly
+that.  Run this after changing the generator and paste the printed constants
+into operators/pipeline_queries.py; tests/test_pipeline_kinds_spec.py keeps
+them honest on every pytest run.
+
+    python scripts/derive_kind_expectations.py
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pdf_extractor_spark.sources.synth import gen_doc, make_pdf  # noqa: E402
+
+
+def kind_expectations(n_docs: int = 300, seed: int = 42) -> dict[str, tuple[int, int]]:
+    """{kind: (n_docs, total_pages)} from generator spec (status is 'ok' by
+    construction — the generator emits only well-formed payloads)."""
+    docs = Counter()
+    pages = Counter()
+    for doc_id in range(n_docs):
+        spec = gen_doc(doc_id, seed=seed, with_spec=True)["_spec"]
+        docs[spec["kind"]] += 1
+        pages[spec["kind"]] += spec["n_pages"]
+    return {k: (docs[k], pages[k]) for k in sorted(docs)}
+
+
+def dialect_total_pages(n_docs: int = 100) -> int:
+    """Planned page total of the q_pdf_dialects fixture set."""
+    total = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"dialect-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, dialect="classic")
+        total += len(lines)
+    return total
+
+
+if __name__ == "__main__":
+    print("q_pipeline_kinds (kind, 'ok', n_docs, total_pages):")
+    for kind, (n, p) in kind_expectations().items():
+        print(f"  ('{kind}', 'ok', CAST({n} AS BIGINT), CAST({p} AS BIGINT))")
+    print(f"q_pdf_dialects total_pages: {dialect_total_pages()}")

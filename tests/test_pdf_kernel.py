@@ -138,3 +138,68 @@ def test_uncompressed_stream_supported():
 def test_compressed_tiny():
     pdf = _tiny_pdf(b"BT /F1 12 Tf 72 700 Td (flate stream) Tj ET\n", compress=True)
     assert parse_pdf(pdf)["pages"][0]["text"] == "flate stream"
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5 dialect: xref streams, object streams, extended filters
+# ---------------------------------------------------------------------------
+def test_modern_dialect_equals_classic():
+    """Same content serialized as PDF 1.4 (classic xref, Flate) and PDF 1.5
+    (xref stream + ObjStm + mixed filters) must parse identically."""
+    import random
+
+    from pdf_extractor_spark.kernels.pdf import parse_pdf
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    for doc_id in range(25):
+        rng1 = random.Random((7 << 32) ^ doc_id)
+        rng2 = random.Random((7 << 32) ^ doc_id)
+        classic, lines = make_pdf(rng1, doc_id, dialect="classic")
+        modern, _ = make_pdf(rng2, doc_id, dialect="modern")
+        assert modern.startswith(b"%PDF-1.5")
+        assert b"/Type /ObjStm" in modern and b"/Type /XRef" in modern
+        rc, rm = parse_pdf(classic), parse_pdf(modern)
+        assert [p["text"] for p in rc["pages"]] == [p["text"] for p in rm["pages"]]
+        assert rc["metadata"] == rm["metadata"]
+        assert [len(p["images"]) for p in rc["pages"]] == \
+               [len(p["images"]) for p in rm["pages"]]
+
+
+def test_filter_decoders():
+    from pdf_extractor_spark.kernels.pdf import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _png_unpredict,
+        _run_length_decode,
+    )
+
+    assert _ascii_hex_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"48656C6C6F7") == b"Hellop"  # odd -> pad 0
+    import base64
+    for payload in (b"", b"a", b"ab", b"abc", b"abcd", b"abcde",
+                    b"\x00\x00\x00\x00rest", bytes(range(256))):
+        assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+    # RLE: literal + repeat + EOD
+    assert _run_length_decode(b"\x02abc" + bytes([257 - 4]) + b"x\x80") == b"abcxxxx"
+    # PNG Up predictor round trip
+    from pdf_extractor_spark.sources.synth import _png_up_predict
+    raw = bytes(range(30))
+    assert _png_unpredict(_png_up_predict(raw, 6), 6) == raw
+
+
+def test_modern_dialect_hostile_inputs():
+    """Truncated/corrupt modern PDFs must raise PdfError (side-channel route),
+    never crash with an unrelated exception."""
+    import random
+
+    from pdf_extractor_spark.kernels.pdf import PdfError, parse_pdf
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    modern, _ = make_pdf(random.Random(1), 1, dialect="modern")
+    for cut in (len(modern) // 3, len(modern) // 2, len(modern) - 30):
+        try:
+            parse_pdf(modern[:cut])
+        except PdfError:
+            pass  # expected
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"non-PdfError escaped: {type(e).__name__}: {e}")

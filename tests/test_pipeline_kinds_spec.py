@@ -1,0 +1,43 @@
+"""The q_pipeline_kinds / q_pdf_dialects oracle constants must equal the
+corpus GENERATOR's spec (kernel-independent ground truth) — this breaks the
+golden-pin circularity: a kernel bug cannot bake itself into the expected
+values because the expectation never consults the kernels."""
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scripts.derive_kind_expectations import (
+    dialect_total_pages,
+    kind_expectations,
+)
+
+
+def _oracle(name: str) -> str:
+    from pdf_extractor_spark.operators import pipeline_queries  # noqa: F401
+    from pdf_extractor_spark.operators.registry import ORACLES
+
+    return ORACLES[name]
+
+
+def test_pipeline_kinds_constants_match_generator_spec():
+    spec = kind_expectations(n_docs=300, seed=42)
+    oracle = _oracle("q_pipeline_kinds")
+    rows = re.findall(
+        r"\('(\w+)',\s*'ok',\s*CAST\((\d+)\s+AS BIGINT\),\s*CAST\((\d+)\s+AS BIGINT\)\)",
+        oracle,
+    )
+    assert rows, f"no VALUES rows found in oracle:\n{oracle}"
+    got = {k: (int(n), int(p)) for k, n, p in rows}
+    assert got == spec
+
+
+def test_pdf_dialects_constant_matches_generator_spec():
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _DIALECT_TOTAL_PAGES,
+        _N_DIALECT_DOCS,
+    )
+
+    assert _DIALECT_TOTAL_PAGES == dialect_total_pages(_N_DIALECT_DOCS)
