@@ -32,8 +32,11 @@ BENCH_QUERIES = [
     "q_ordered_concat",    # sort-keyed collect_list reassembly
     "q_multikey_sort",     # window top-k
     "q_minhash_lsh",       # shingle → minhash → band join
+    "q_dedup_verify",      # LSH candidates → exact Jaccard verify (round 2)
     "q_simhash",           # token-bit sketch
-    "q_ann_topk",          # brute-force cosine top-k
+    "q_ann_topk",          # brute-force cosine top-k (array-native)
+    "q_ann_lsh",           # hyperplane buckets + re-rank (round 2)
+    "q_ocr_lines",         # OCR-shaped chain: boxes → conf → lines (round 2)
     "q_fingerprint",       # posexplode + lead window + agg
     "q_token_count",       # regexp_count projection
     "q_mm_decode",         # mapInPandas binary plumbing

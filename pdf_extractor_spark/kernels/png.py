@@ -1,0 +1,227 @@
+"""From-scratch stdlib PNG codec + deterministic pixel ops (SURVEY OP-63;
+reference image_extractor.py:131-140 PNG-normalize, simple_extract.py:52-78
+enhance/thumbnail).
+
+No Pillow ships in this container, and library resampling is
+version-dependent anyway — so the codec is built here on ``zlib`` + pure
+integer math, making every output byte a deterministic function of the
+input:
+
+* ``encode_png`` / ``decode_png`` — 8-bit RGB / RGBA / grayscale, row-filter
+  None on encode, all five PNG filters understood on decode (same filter
+  algebra as the PDF xref-stream predictor, kernels/pdf.py);
+* ``enhance`` — contrast x1.3 around the 128 midpoint then a 3x3 unsharp
+  pass (x1.5), the reference's ImageEnhance recipe restated as exact
+  integer math;
+* ``thumbnail`` — aspect-preserving box-filter downscale bounded to
+  max_side x max_side (the reference's 600x600 LANCZOS seam; box filter is
+  chosen because it is exactly reproducible everywhere).
+
+These power operators/multimodal.py's REAL codec path for the payload
+formats the corpus actually carries (raw RGB from PDF XObjects, PNG);
+DCT/JPX (JPEG) stays a declared out-of-scope seam.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+__all__ = [
+    "PngError",
+    "encode_png",
+    "decode_png",
+    "enhance",
+    "thumbnail",
+]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+class PngError(ValueError):
+    """Malformed or out-of-scope PNG input."""
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """8-bit image -> PNG bytes (filter 0 rows, one zlib IDAT).
+    ``pixels`` is row-major packed samples, len == width*height*channels."""
+    if channels not in (1, 3, 4):
+        raise PngError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise PngError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    raw = bytearray()
+    stride = width * channels
+    for y in range(height):
+        raw.append(0)  # filter None
+        raw += pixels[y * stride:(y + 1) * stride]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(data: bytes, width: int, height: int, channels: int) -> bytes:
+    bpp = channels
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        if pos >= len(data):
+            raise PngError("truncated IDAT")
+        tag = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + stride])
+        if len(row) < stride:
+            raise PngError("short row")
+        if tag == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif tag != 0:
+            raise PngError(f"unknown row filter {tag}")
+        out += row
+        prev = row
+        pos += 1 + stride
+    return bytes(out)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes -> (width, height, channels, packed 8-bit samples).
+    Non-interlaced 8-bit gray/RGB/RGBA; palette and 16-bit are out of scope."""
+    if not data.startswith(_SIG):
+        raise PngError("missing PNG signature")
+    pos = len(_SIG)
+    width = height = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise PngError("truncated chunk")
+        if tag == b"IHDR":
+            if len(body) != 13:
+                raise PngError(f"bad IHDR length {len(body)}")
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise PngError(f"bit depth {depth} out of scope (8 only)")
+            if ctype not in _CHANNELS or ctype == 4:
+                if ctype == 3:
+                    raise PngError("palette PNG out of scope")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if channels is None:
+                raise PngError(f"color type {ctype} out of scope")
+            if ilace:
+                raise PngError("interlaced PNG out of scope")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or channels is None:
+        raise PngError("no IHDR")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise PngError(f"IDAT inflate failed: {e}") from e
+    return width, height, channels, _unfilter(raw, width, height, channels)
+
+
+# --------------------------------------------------------------------------
+# Deterministic pixel operations (integer math only)
+# --------------------------------------------------------------------------
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def enhance(width: int, height: int, channels: int, pixels: bytes,
+            contrast_num: int = 13, contrast_den: int = 10,
+            sharp_num: int = 15, sharp_den: int = 10) -> bytes:
+    """Reference recipe (simple_extract.py:64-68): contrast x1.3 then
+    sharpness x1.5 — as exact rational integer math.
+
+    Contrast: p' = 128 + (p - 128) * 13/10 (truncating division toward
+    zero, clamped).  Sharpness: unsharp mask against the 3x3 box blur,
+    p'' = blur + (p' - blur) * 15/10, edge pixels use clamped neighbors."""
+    stride = width * channels
+    con = bytearray(len(pixels))
+    for i, p in enumerate(pixels):
+        con[i] = _clamp(128 + ((p - 128) * contrast_num) // contrast_den)
+    out = bytearray(len(pixels))
+    for y in range(height):
+        for x in range(width):
+            for c in range(channels):
+                acc = 0
+                for dy in (-1, 0, 1):
+                    yy = min(max(y + dy, 0), height - 1)
+                    for dx in (-1, 0, 1):
+                        xx = min(max(x + dx, 0), width - 1)
+                        acc += con[yy * stride + xx * channels + c]
+                blur = acc // 9
+                p = con[y * stride + x * channels + c]
+                out[y * stride + x * channels + c] = _clamp(
+                    blur + ((p - blur) * sharp_num) // sharp_den
+                )
+    return bytes(out)
+
+
+def thumbnail(width: int, height: int, channels: int, pixels: bytes,
+              max_side: int = 600) -> tuple[int, int, bytes]:
+    """Aspect-preserving box-filter downscale so max(w, h) <= max_side
+    (never upscales — the PIL .thumbnail contract the reference relies on).
+    Each output pixel is the integer mean of its source box."""
+    if width <= max_side and height <= max_side:
+        return width, height, pixels
+    if width >= height:
+        tw = max_side
+        th = max(1, (height * max_side) // width)
+    else:
+        th = max_side
+        tw = max(1, (width * max_side) // height)
+    stride = width * channels
+    out = bytearray(tw * th * channels)
+    for ty in range(th):
+        y0, y1 = (ty * height) // th, max(((ty + 1) * height) // th, (ty * height) // th + 1)
+        for tx in range(tw):
+            x0, x1 = (tx * width) // tw, max(((tx + 1) * width) // tw, (tx * width) // tw + 1)
+            n = (y1 - y0) * (x1 - x0)
+            for c in range(channels):
+                acc = 0
+                for y in range(y0, y1):
+                    base = y * stride
+                    for x in range(x0, x1):
+                        acc += pixels[base + x * channels + c]
+                out[(ty * tw + tx) * channels + c] = acc // n
+    return tw, th, bytes(out)

@@ -1,24 +1,32 @@
-"""Multimodal column plumbing (task brief §extras).
+"""Multimodal column plumbing + the REAL image codec path (task brief
+§extras; SURVEY OP-63).
 
 Images/audio/video ride as opaque ``binary`` columns with typed metadata.
-The Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-signature, partitioning — is real and oracle-tested; the actual codec step
-is stubbed (this container ships no image/audio libraries): the stub
-"decode" derives metadata as a pure deterministic function of the payload
-bytes, so the DuckDB oracle can state the expected output exactly and the
-driver's value-hash verifies the full executor-side Python path.
+Two codec tiers:
 
-``decode_image_real`` is the marked integration point for a real codec.
+* REAL (round 2): ``kernels/png.py`` — a from-scratch stdlib PNG
+  encode/decode plus deterministic enhance (contrast x1.3 + unsharp x1.5)
+  and box-filter thumbnail.  ``decode_image_real`` decodes PNG payloads and
+  zlib'd raw-RGB payloads (the format PDF XObjects carry);
+  ``enhance_image_real`` runs decode -> enhance -> thumbnail -> re-encode.
+  The q_png_pipeline driver query value-gates the whole executor path
+  against a SQL-stated pixel formula.
+* STUB (kept): payloads that are arbitrary bytes (the documents.text
+  stand-ins) use the deterministic metadata stub so the plumbing queries
+  stay value-verified on any input.  JPEG (DCT) remains a declared
+  out-of-scope seam — no entropy decoder here.
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..kernels.png import PngError, decode_png, encode_png, enhance, thumbnail
 from .registry import T, query
 
 DECODE_SCHEMA = (
@@ -27,15 +35,36 @@ DECODE_SCHEMA = (
 FRAME_SCHEMA = "doc_id long, frame_idx long"
 
 
-def decode_image_real(payload: bytes) -> dict:
-    """Real image decode — NOT IMPLEMENTED in this environment (no Pillow /
-    libjpeg in the container).  Swap this in for ``_decode_stub`` when a
-    codec is available; the Spark plumbing (schema, batching, partitioning)
-    is identical either way."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "deterministic stub (_decode_stub) is used instead"
-    )
+def decode_image_real(payload: bytes, width: int | None = None,
+                      height: int | None = None) -> dict:
+    """Real image decode (kernels/png.py).
+
+    PNG payloads are self-describing; zlib raw-RGB payloads (PDF
+    /FlateDecode /DeviceRGB XObjects) need the declared width/height from
+    the XObject dict.  JPEG (DCTDecode) raises: writing a baseline-JPEG
+    entropy decoder is out of scope, and that seam is explicit."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        w, h, ch, px = decode_png(payload)
+        return {"width": w, "height": h, "channels": ch, "pixels": px,
+                "fmt": "png"}
+    if payload.startswith(b"\xff\xd8"):
+        raise NotImplementedError(
+            "JPEG (DCT) decode out of scope — no entropy decoder in this "
+            "stdlib-only codec; payload passes through with declared metadata"
+        )
+    if width and height:
+        try:
+            px = zlib.decompress(payload)
+        except zlib.error as e:
+            raise PngError(f"raw payload inflate failed: {e}") from e
+        ch = len(px) // (width * height) if width * height else 0
+        if ch not in (1, 3, 4) or len(px) != width * height * ch:
+            raise PngError(
+                f"raw payload {len(px)}B does not match {width}x{height}"
+            )
+        return {"width": width, "height": height, "channels": ch,
+                "pixels": px, "fmt": "raw"}
+    raise PngError("undeclared raw payload needs width/height")
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
@@ -113,14 +142,90 @@ def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     return _payloads(spark, sf).mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
-def enhance_image_real(payload: bytes) -> bytes:
-    """Real image enhance/thumbnail (reference simple_extract.py:52-78:
-    contrast x1.3, sharpness x1.5, 600x600 LANCZOS) — NOT IMPLEMENTED here
-    (no Pillow in this container, and resampling output is
-    library-version-dependent, out of byte-identity scope per SURVEY OP-63)."""
-    raise NotImplementedError(
-        "image codec not available; deterministic stub (q_mm_thumbnail) "
-        "exercises the Spark plumbing instead"
+def enhance_image_real(payload: bytes, max_side: int = 600,
+                       width: int | None = None,
+                       height: int | None = None) -> bytes:
+    """Real enhance/thumbnail (reference simple_extract.py:52-78: contrast
+    x1.3, sharpness x1.5, bounded thumbnail): decode -> integer-exact
+    enhance -> box-filter thumbnail -> PNG re-encode.  Every output byte is
+    a deterministic function of the input — unlike Pillow's LANCZOS, which
+    is library-version-dependent (why the reference path is out of
+    byte-identity scope and this one is in)."""
+    img = decode_image_real(payload, width=width, height=height)
+    px = enhance(img["width"], img["height"], img["channels"], img["pixels"])
+    tw, th, tpx = thumbnail(img["width"], img["height"], img["channels"],
+                            px, max_side=max_side)
+    return encode_png(tw, th, tpx, img["channels"])
+
+
+@query(
+    "q_png_pipeline",
+    # The WHOLE real-codec path stated in SQL: pixel v(x,y) = (x+2y+doc_id)
+    # % 256 over a (doc_id%40+9) x (doc_id*3%30+5) RGB canvas; encode ->
+    # decode must round-trip exactly (px_sum gates every decoded byte);
+    # thumbnail dims follow the aspect-bound formula; enhance of a flat
+    # image is exactly the integer contrast map (blur == pixel -> unsharp
+    # is identity).
+    """
+    WITH dims AS (
+      SELECT doc_id, doc_id % 40 + 9 AS w, (doc_id * 3) % 30 + 5 AS h
+      FROM documents),
+    sums AS (
+      SELECT doc_id, w, h,
+             (SELECT sum(((x.i + 2 * y.i + doc_id) % 256) * 3)
+              FROM range(0, 48) x(i), range(0, 34) y(i)
+              WHERE x.i < w AND y.i < h) % 997 AS px_sum
+      FROM dims)
+    SELECT doc_id,
+      CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+      CAST(CASE WHEN w <= 24 AND h <= 24 THEN w
+                WHEN w >= h THEN 24
+                ELSE greatest(1, (w * 24) // h) END AS BIGINT) AS thumb_w,
+      CAST(CASE WHEN w <= 24 AND h <= 24 THEN h
+                WHEN w >= h THEN greatest(1, (h * 24) // w)
+                ELSE 24 END AS BIGINT) AS thumb_h,
+      'ok' AS roundtrip,
+      CAST(px_sum AS BIGINT) AS px_sum,
+      CAST(least(255, greatest(0, (13 * (doc_id % 256) - 384) // 10))
+           AS BIGINT) AS enh_flat
+    FROM sums
+    """,
+)
+def q_png_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL codec gate (OP-63, kernels/png.py): per document, build a
+    deterministic RGB image, PNG-encode, PNG-decode (round-trip + full pixel
+    checksum), thumbnail to a 24px bound, and enhance a flat tile — all
+    executor-side, all value-verified against the SQL-stated formulas."""
+    from .registry import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 40 + 9, (d * 3) % 30 + 5
+                px = bytes(
+                    ((x + 2 * y + d) % 256)
+                    for y in range(h) for x in range(w) for _ in range(3)
+                )
+                data = encode_png(w, h, px, 3)
+                w2, h2, ch2, px2 = decode_png(data)
+                ok = (w2, h2, ch2, px2) == (w, h, 3, px)
+                tw, th, _ = thumbnail(w2, h2, ch2, px2, max_side=24)
+                flat = bytes([d % 256]) * 36
+                enh_flat = enhance(4, 3, 3, flat)[0]
+                rows.append((d, w, h, tw, th, "ok" if ok else "bad",
+                             sum(px2) % 997, enh_flat))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "src_w", "src_h", "thumb_w", "thumb_h",
+                "roundtrip", "px_sum", "enh_flat",
+            ])
+
+    d = fan_out(T(spark, sf, "documents").select("doc_id"), "doc_id")
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, src_w long, src_h long, thumb_w long, "
+               "thumb_h long, roundtrip string, px_sum long, enh_flat long",
     )
 
 

@@ -110,6 +110,19 @@ def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
     return b"\n".join(chunks) + b"\n"
 
 
+def _rgb_pixels(w: int, h: int, seed: bytes) -> bytes:
+    """Deterministic RGB gradient (numpy-vectorized — up to 320x240x3 per
+    image, a Python loop would dominate corpus generation)."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int32)
+    y = np.arange(h, dtype=np.int32)
+    base = (3 * x[None, :] + 7 * y[:, None]) % 256  # (h, w)
+    chan = np.array([seed[0], seed[1], seed[2]], dtype=np.int32)
+    px = (base[:, :, None] + chan[None, None, :]) % 256
+    return px.astype(np.uint8).tobytes()
+
+
 # --- modern-dialect (PDF 1.5) encoding helpers ---------------------------
 # Deliberately DIFFERENT implementations from the parser's decoders
 # (stdlib base64.a85encode / binascii.hexlify / a naive RLE packer vs the
@@ -222,7 +235,13 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                     w, h = rng.randint(8, 49), rng.randint(8, 49)
                 else:
                     w, h = rng.randint(50, 320), rng.randint(50, 240)
-                payload = zlib.compress(bytes(rng.getrandbits(8) for _ in range(64)))
+                # Real, decodable RGB pixels (zlib'd raw — the /FlateDecode
+                # /DeviceRGB XObject shape): a deterministic gradient seeded
+                # by 64 rng bytes.  The 64 draws predate the pixel upgrade,
+                # so every later rng draw — and thus all text goldens — is
+                # byte-identical to the old corpus.
+                seed64 = bytes(rng.getrandbits(8) for _ in range(64))
+                payload = zlib.compress(_rgb_pixels(w, h, seed64), 6)
                 img_id = next_id
                 next_id += 1
                 objs[img_id] = (

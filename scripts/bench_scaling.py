@@ -19,9 +19,10 @@ input at local[4] (N) and local[16] (4N):
   non-degraded baseline;
 * drift control: this sandbox's absolute throughput drifts over minutes and
   shows sporadic scheduler stalls, so the experiment runs ROUNDS of
-  temporally-adjacent (N, 4N) child pairs; each child reports its min of
-  `RUNS_PER_CHILD` timed runs, efficiency is computed per round, and the
-  best round is reported (with all rounds shown);
+  temporally-adjacent child pairs with ALTERNATING order ((N, 4N), (4N, N),
+  ...) so slow windows penalize both sizes equally; each child reports its
+  min of `RUNS_PER_CHILD` timed runs, efficiency is computed per round, and
+  the MEDIAN round is the headline pass/fail number (best also reported);
 * byte-identity guard: every run's output table must digest identically —
   the determinism claim (SURVEY.md §4.3.4) behind the scaling number.
 
@@ -43,10 +44,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "32000"))
+N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "64000"))
 GEN_PARTS = 64
-ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "3"))
-RUNS_PER_CHILD = 3
+ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
+RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "3"))
 CORPUS = f"/tmp/scale_corpus_{N_DOCS}"
 OUT = "/tmp/scale_out"
 N_SMALL, N_BIG = 4, 16
@@ -125,19 +126,29 @@ def main() -> None:
     stage_corpus()
     rounds = []
     digests = set()
-    for _ in range(ROUNDS):
-        rn = _run_child(N_SMALL)
-        rb = _run_child(N_BIG)
+    for i in range(ROUNDS):
+        # alternate which size runs first so temporal drift within a round
+        # biases neither direction
+        order = (N_SMALL, N_BIG) if i % 2 == 0 else (N_BIG, N_SMALL)
+        res = {c: _run_child(c) for c in order}
+        rn, rb = res[N_SMALL], res[N_BIG]
         digests.update([rn["digest"], rb["digest"]])
         eff = (rb["docs_per_sec"] / rn["docs_per_sec"]) / (N_BIG / N_SMALL)
-        rounds.append({"small": rn, "big": rb, "efficiency": round(eff, 3)})
+        rounds.append({"small": rn, "big": rb, "efficiency": round(eff, 3),
+                       "order": f"{order[0]}->{order[1]}"})
+    effs = sorted(r["efficiency"] for r in rounds)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
     best = max(rounds, key=lambda r: r["efficiency"])
-    eff = best["efficiency"]
+    eff = median_eff
     identical = len(digests) == 1
     summary = {
         "n_docs": N_DOCS,
         "cluster_sizes": [N_SMALL, N_BIG],
         "rounds": [r["efficiency"] for r in rounds],
+        "median_efficiency": median_eff,
+        "best_efficiency": best["efficiency"],
         "best_round": best,
         "scaling_efficiency": eff,
         "pass_efficiency_0.8": eff >= 0.8,
@@ -145,7 +156,8 @@ def main() -> None:
     }
     rs, rb = best["small"], best["big"]
     rows = "\n".join(
-        f"| round {i} | {r['small']['wall_s']} | {r['big']['wall_s']} | {r['efficiency']} |"
+        f"| round {i} ({r['order']}) | {r['small']['wall_s']} | "
+        f"{r['big']['wall_s']} | {r['efficiency']} |"
         for i, r in enumerate(rounds)
     )
     bench_dir = REPO / "BENCH"
@@ -157,7 +169,9 @@ MAP-ONLY extraction job — parquet scan ({N_DOCS} deterministic synthetic
 docs: ~70% HTML / 20% PDF / 10% raw, 1% oversized ~1 MiB, heavy-host skew
 30%) -> vectorized doc-level kernel (mapInPandas) -> parquet sink — run at
 local[{N_SMALL}] (N) and local[{N_BIG}] (4N) in {ROUNDS} temporally-adjacent
-rounds (this sandbox's absolute speed drifts over minutes); each number is
+rounds with ALTERNATING child order (this sandbox's absolute speed drifts
+over minutes and shows sporadic stalls; alternation cancels the bias, and
+the MEDIAN round — not the best — is the pass/fail number); each cell is
 the min of {RUNS_PER_CHILD} timed runs.  No shuffle anywhere in the job:
 full-corpus extraction is a map, and scan splits bound per-task memory.
 
@@ -170,8 +184,9 @@ Best round: local[{N_SMALL}] {rs['docs_per_sec']} docs/s
 kernel rate, i.e. an honest baseline), local[{N_BIG}] {rb['docs_per_sec']}
 docs/s ({round(rb['docs_per_sec']/N_BIG, 1)}/core).
 
-- **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-  (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+- **MEDIAN scaling efficiency (throughput_4N / throughput_N) / 4 =
+  {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"});
+  best round {best['efficiency']:.3f}
 - **Byte-identical outputs across all runs and cluster sizes: {identical}**
   (md5 over the url-sorted (url, md5(text)) stream — the determinism guard
   of SURVEY.md §4.3.4)

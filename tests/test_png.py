@@ -1,0 +1,156 @@
+"""From-scratch PNG codec + deterministic pixel ops (kernels/png.py).
+
+The forward row filters used to test decode are implemented HERE, test-local
+— independent of the codec's inverse filters (same honesty rule as the PDF
+generator/parser split)."""
+
+import struct
+import zlib
+
+import pytest
+
+from pdf_extractor_spark.kernels.png import (
+    PngError,
+    decode_png,
+    encode_png,
+    enhance,
+    thumbnail,
+)
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + tag + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _forward_filter(px: bytes, w: int, h: int, ch: int, tag: int) -> bytes:
+    bpp, stride = ch, w * ch
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = px[y * stride:(y + 1) * stride]
+        f = bytearray([tag])
+        for i in range(stride):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if tag == 0:
+                v = row[i]
+            elif tag == 1:
+                v = row[i] - a
+            elif tag == 2:
+                v = row[i] - b
+            elif tag == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            f.append(v & 0xFF)
+        out += f
+        prev = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h,ch", [(1, 1, 1), (7, 3, 3), (16, 16, 4),
+                                    (40, 23, 3), (1, 9, 1)])
+def test_roundtrip(w, h, ch):
+    px = bytes(((x * 3 + y * 7 + c) % 256)
+               for y in range(h) for x in range(w) for c in range(ch))
+    assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+@pytest.mark.parametrize("tag", [0, 1, 2, 3, 4])
+def test_decode_all_row_filters(tag):
+    w, h, ch = 9, 6, 3
+    px = bytes(((x * 11 + y * 5 + c * 2) % 256)
+               for y in range(h) for x in range(w) for c in range(ch))
+    raw = _forward_filter(px, w, h, ch, tag)
+    data = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(data)[3] == px
+
+
+def test_hostile_inputs_raise_png_error():
+    for bad in (b"", b"\x89PNG", _SIG + b"\x00\x00\x00\x01IHDRx",
+                _SIG + b"\xff" * 40,
+                # palette / 16-bit / interlace are declared out of scope
+                _SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)),
+                _SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)),
+                _SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))):
+        with pytest.raises(PngError):
+            decode_png(bad)
+
+
+def test_enhance_flat_image_maps_to_contrast_level():
+    """A flat image has blur == pixel, so sharpening is identity and the
+    result is exactly the contrast map 128 + (p-128)*13//10 clamped."""
+    for p in (0, 29, 30, 100, 128, 200, 255):
+        out = enhance(5, 4, 3, bytes([p]) * 60)
+        exp = max(0, min(255, 128 + ((p - 128) * 13) // 10))
+        assert set(out) == {exp}, p
+
+
+def test_enhance_sharpens_edges():
+    """A step edge must gain contrast across the boundary (unsharp mask)."""
+    w, h = 8, 4
+    px = bytes(50 if x < 4 else 200 for _ in range(h) for x in range(w))
+    out = enhance(w, h, 1, px)
+    # interior-left pixel adjacent to the edge dips below its flat value;
+    # interior-right pixel adjacent to the edge overshoots
+    flat_lo = enhance(4, 4, 1, bytes([50]) * 16)[5]
+    flat_hi = enhance(4, 4, 1, bytes([200]) * 16)[5]
+    assert out[1 * w + 3] < flat_lo  # undershoot left of edge (y=1, x=3)
+    assert out[1 * w + 4] > flat_hi  # overshoot right of edge (y=1, x=4)
+
+
+def test_thumbnail_bounds_and_passthrough():
+    tw, th, tpx = thumbnail(40, 23, 3, bytes(40 * 23 * 3), max_side=16)
+    assert (tw, th) == (16, 9) and len(tpx) == 16 * 9 * 3
+    assert thumbnail(10, 8, 3, bytes(10 * 8 * 3), max_side=16)[:2] == (10, 8)
+    tw, th, tpx = thumbnail(33, 20, 3, bytes([77]) * (33 * 20 * 3), max_side=12)
+    assert (tw, th) == (12, 7) and set(tpx) == {77}  # box mean of flat = flat
+    # portrait orientation
+    tw, th, _ = thumbnail(20, 50, 1, bytes(20 * 50), max_side=10)
+    assert (tw, th) == (4, 10)
+
+
+def test_pdf_images_decode_through_real_codec():
+    """End-to-end OP-60→OP-63: generator PDF → kernel image extraction →
+    real decode of the zlib'd RGB payload → enhance → thumbnail → PNG."""
+    import random
+
+    from pdf_extractor_spark.kernels.pdf import parse_pdf
+    from pdf_extractor_spark.operators.multimodal import (
+        decode_image_real,
+        enhance_image_real,
+    )
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    n_seen = 0
+    for doc_id in range(12):
+        pdf_bytes, _ = make_pdf(random.Random((5 << 32) ^ doc_id), doc_id)
+        for page in parse_pdf(pdf_bytes)["pages"]:
+            for img in page["images"]:
+                dec = decode_image_real(
+                    img["payload"], width=img["width"], height=img["height"]
+                )
+                assert dec["channels"] == 3
+                assert len(dec["pixels"]) == img["width"] * img["height"] * 3
+                out = enhance_image_real(
+                    img["payload"], max_side=40,
+                    width=img["width"], height=img["height"],
+                )
+                w, h, ch, _px = decode_png(out)
+                assert max(w, h) <= 40 and ch == 3
+                n_seen += 1
+    assert n_seen >= 5  # the fixture set genuinely contains images
