@@ -107,8 +107,11 @@ def _shingles(spark: SparkSession, sf: str, cap: int) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Char-5-gram Jaccard near-dup pairs (threshold 0.25) over a doc_id
-    window.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a per-pair integer ratio —
-    bit-identical across engines."""
+    window — the PEDAGOGICAL all-pairs formulation (the window cap is what
+    makes it runnable).  The production-shaped composition is q_dedup_verify:
+    identical Jaccard math, but scoped to MinHash-LSH candidate buckets so
+    no all-pairs join ever runs.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a
+    per-pair integer ratio — bit-identical across engines."""
     sh = _shingles(spark, sf, 100)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -395,7 +398,7 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # instead of silently returning wrong clusters.
     max_iters = 1000
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -410,6 +413,11 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             )
             .persist()
         )
+        if it % 5 == 4:
+            # truncate lineage every k iterations: persist caches data but
+            # the logical plan still grows per round — on a big graph the
+            # planner cost and any recompute-after-eviction would blow up
+            new_labels = new_labels.localCheckpoint(eager=True)
         checksum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

@@ -76,24 +76,37 @@ def _boxes_for_payload(doc_id: int, payload: bytes) -> list[tuple]:
     return rows
 
 
-def ocr_word_boxes(pages: DataFrame, payload_col: str = "html") -> DataFrame:
+def ocr_word_boxes(pages: DataFrame, payload_col: str = "html",
+                   dpi: int = 72) -> DataFrame:
     """Pages frame (with doc_id + binary payload) -> long word-box table.
-    One Arrow pass, variable fan-out per document (mapInPandas)."""
+    One Arrow pass, variable fan-out per document (mapInPandas).
+
+    ``dpi`` is the OP-22 zoom math (reference ocr_extractor rasterizes at
+    ``zoom = dpi / 72`` before recognition): box coordinates scale by the
+    zoom factor, exactly like boxes reported on a higher-resolution raster.
+    ``ocr_lines`` normalizes the zoom back out, so line OUTPUT is
+    dpi-invariant — the property the reference relies on."""
+    zoom = dpi / 72.0
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
-                out.extend(_boxes_for_payload(int(doc_id), bytes(b) if b is not None else b""))
+                for (d, w, x0, y0, conf) in _boxes_for_payload(
+                    int(doc_id), bytes(b) if b is not None else b""
+                ):
+                    out.append((d, w, x0 * zoom, y0 * zoom, conf))
             yield pd.DataFrame(out, columns=["doc_id", "w", "x0", "y0", "conf"])
 
     return pages.select("doc_id", payload_col).mapInPandas(run, schema=_BOX_SCHEMA)
 
 
-def ocr_lines(boxes: DataFrame, min_conf: int = MIN_CONF) -> DataFrame:
+def ocr_lines(boxes: DataFrame, min_conf: int = MIN_CONF,
+              dpi: int = 72) -> DataFrame:
     """Word boxes -> recognized lines: conf filter, group by line y, sort by
     x inside the line, reassemble text.  Pure relational — one shuffle on
     (doc_id, y0), the corpus partition key plus a narrow secondary."""
+    zoom = dpi / 72.0
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("x0", "w"))), lambda s: s["w"]
     )
@@ -107,7 +120,8 @@ def ocr_lines(boxes: DataFrame, min_conf: int = MIN_CONF) -> DataFrame:
         )
         .select(
             "doc_id",
-            ((F.lit(Y_ORIGIN) - F.col("y0")) / Y_STEP).cast("long").alias("line_no"),
+            ((F.lit(Y_ORIGIN * zoom) - F.col("y0")) / (Y_STEP * zoom))
+            .cast("long").alias("line_no"),
             "line_text",
             "n_words",
             "min_conf",

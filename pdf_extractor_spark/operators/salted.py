@@ -82,6 +82,44 @@ def host_stats(pages: DataFrame, n_salts: int = 16) -> DataFrame:
 
 
 @query(
+    "q_host_salted",
+    """
+    SELECT source || '.example.org' AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_host_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule salting on the REAL url shape: synthesize per-doc urls
+    (https://{source}.example.org/{doc_id} — the pages_from_documents
+    convention), derive host via parse_url, and run the two-phase salted
+    rollup.  Few distinct sources x many docs each == every host is hot, the
+    exact shape the salt exists for.  Oracle is the plain GROUP BY: salting
+    must be invisible in the result."""
+    d = T(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_host = d.select(
+        host_of(url).alias("host"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "doc_id",
+    )
+    return salted_agg(
+        with_host, ["host"], n_salts=16,
+        counts=[("n_docs", "*")],
+        sums=[("total_chars", "n_chars")],
+        salt_col=F.col("doc_id"),
+    ).select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
     "q_salted_agg",
     """
     SELECT k, CAST(count(*) AS BIGINT) AS n_events,

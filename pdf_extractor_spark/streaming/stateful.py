@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schema import PAGES_INPUT_SCHEMA
 
-__all__ = ["host_state_stream"]
+__all__ = ["host_state_stream", "dedup_stream"]
 
 _OUT_SCHEMA = "host string, n_docs long, total_bytes long, last_ts timestamp"
 _STATE_SCHEMA = "n_docs long, total_bytes long, last_ts timestamp"
@@ -48,6 +48,65 @@ def _update_host(
     yield pd.DataFrame(
         {"host": [key[0]], "n_docs": [n_docs], "total_bytes": [total_bytes],
          "last_ts": [last_ts]}
+    )
+
+
+_DEDUP_OUT = "h string, url string, n_dups long"
+_DEDUP_STATE = "n_seen long"
+
+
+def _dedup_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First occurrence of a content hash passes; every later one (same
+    batch, later batch, or post-restart — state lives in the checkpoint) is
+    suppressed and counted."""
+    n_seen = state.get[0] if state.exists else 0
+    first_url = None
+    for pdf in pdfs:
+        for url in pdf["url"]:
+            if n_seen == 0:
+                first_url = url
+            n_seen += 1
+    state.update((n_seen,))
+    if first_url is not None:
+        yield pd.DataFrame(
+            {"h": [key[0]], "url": [first_url], "n_dups": [n_seen - 1]}
+        )
+
+
+def dedup_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Streaming exact dedup (dedup-within-horizon): md5 of the raw payload
+    -> stateful first-occurrence filter via applyInPandasWithState.  The
+    batch text-canonical formulation is operators/dedup.q_dedup_exact; here
+    the "have I seen this hash" set IS the group state, so duplicates are
+    suppressed across micro-batches AND across restarts (checkpointed state
+    store).  At scale the state is hash-partitioned by the content hash —
+    the same shuffle key the batch groupBy uses."""
+    stream = spark.readStream.schema(PAGES_INPUT_SCHEMA).parquet(in_path)
+    hashed = stream.select(F.md5(F.col("html")).alias("h"), "url")
+    deduped: DataFrame = hashed.groupBy("h").applyInPandasWithState(
+        _dedup_group,
+        outputStructType=_DEDUP_OUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        deduped.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 

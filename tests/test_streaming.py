@@ -124,3 +124,30 @@ def test_stateful_host_totals_survive_restart(spark, tmp_path):
     # the heavy host appears in both slices, so it must be in the subset
     from pdf_extractor_spark.sources.synth import HEAVY_HOST
     assert any(h == HEAVY_HOST for h, _, _ in streamed_partial)
+
+
+def test_streaming_dedup_suppresses_across_batches_and_restarts(spark, tmp_path):
+    """dedup-within-horizon: the first occurrence of a payload hash passes;
+    re-crawls of the same bytes — in the same drain, a later drain, or after
+    a restart — are suppressed by the checkpointed state."""
+    from pdf_extractor_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "pages_d")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_d")
+
+    _write_slice(spark, src, 0, 40)
+    q = dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 40  # all payloads distinct -> all pass
+
+    # second segment: 20 exact re-crawls (same doc ids => same bytes) + 15 new
+    _write_slice(spark, src, 10, 30)
+    _write_slice(spark, src, 40, 55)
+    q = dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    all_rows = spark.read.parquet(out)
+    # only the 15 genuinely-new payloads emitted a row in drain 2
+    assert all_rows.count() == 55
+    assert all_rows.select("h").distinct().count() == 55
