@@ -173,22 +173,47 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     uniform hash), and — unlike integer-conversion tricks — is portable to
     the DuckDB oracle verbatim.
 
+    ARRAY-NATIVE (round 2): the 16 signatures are per-row ``array_min``
+    folds over the shingle array and bands explode to just 8 rows/doc — the
+    round-1 formulation exploded shingles x 16 seeds (~4800 rows per doc)
+    through two groupBy shuffles before the band join.  Now the ONLY
+    shuffle is the band-bucket join itself, which is the algorithm.
+
     At scale: the band-bucket join replaces the all-pairs Jaccard; bucket
     sizes are the skew control (band width tunes precision/recall)."""
-    sh = _shingles(spark, sf, 200)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(_N_HASHES - 1))).alias("seed")
-    hashed = sh.select("doc_id", "sh", seeds).select(
-        "doc_id", "seed",
-        F.md5(F.concat_ws(":", F.col("seed"), F.col("sh")).cast("binary")).alias("h"),
+    d = fan_out(
+        T(spark, sf, "documents").filter(
+            (F.col("doc_id") < 200) & (F.length("text") >= 5)
+        ),
+        "doc_id",
     )
-    sig = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    band = (F.col("seed") / _BAND_SIZE).cast("int").alias("band")
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
+    shs = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
     )
-    bands = sig.select("doc_id", band, "mh", "seed").groupBy("doc_id", "band").agg(
-        F.md5(F.concat_ws("|", ordered).cast("binary")).alias("bkey")
-    )
+    base = d.select("doc_id", shs.alias("shs"))
+    def _sig(seed: int):
+        # nb: the lambda MUST take exactly one arg — a second parameter
+        # (even defaulted) makes pyspark pass the element INDEX into it
+        return F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda sh: F.md5(F.concat_ws(":", F.lit(seed), sh).cast("binary")),
+            )
+        )
+
+    sigs = [_sig(seed) for seed in range(_N_HASHES)]
+    band_structs = [
+        F.struct(
+            F.lit(b // _BAND_SIZE).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws("|", *sigs[b:b + _BAND_SIZE]).cast("binary")
+            ).alias("bkey"),
+        )
+        for b in range(0, _N_HASHES, _BAND_SIZE)
+    ]
+    bands = base.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -235,30 +260,35 @@ _SIM_BITS = 16
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """16-bit SimHash: per-token md5, bit j votes +1/-1 by the top bit of hex
     nibble j, sign of the per-doc sum is sketch bit j.  Docs sharing a sketch
-    are near-dup candidates (exact-match join on the sketch at scale)."""
+    are near-dup candidates (exact-match join on the sketch at scale).
+
+    ARRAY-NATIVE (round 2): token hashes are one per-row ``transform``, each
+    sketch bit one integer ``aggregate`` fold — ZERO shuffles.  The round-1
+    formulation exploded tokens x 16 bits (16x row inflation of the token
+    stream) and re-grouped twice; this is a pure projection.  Oracle
+    (exploded formulation) unchanged — same values, different physics."""
     d = fan_out(
         T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""), "doc_id"
     )
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-    ).select("doc_id", F.md5(F.col("w").cast("binary")).alias("h"))
-    bits = toks.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(1), F.lit(_SIM_BITS))).alias("j"),
-    ).select(
-        "doc_id", "j",
-        F.when(
-            F.expr("substring(h, j, 1)").isin(list("89abcdef")), F.lit(1)
-        ).otherwise(F.lit(-1)).alias("v"),
+    hashes = F.transform(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda w: F.md5(w.cast("binary")),
     )
-    per_bit = bits.groupBy("doc_id", "j").agg(
-        F.when(F.sum("v") > 0, "1").otherwise("0").alias("bit")
+    hd = d.select("doc_id", hashes.alias("hs"))
+    hot = list("89abcdef")
+
+    def bit(j: int):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, j, 1).isin(hot), 1).otherwise(-1),
+        )
+        return F.when(vote > 0, "1").otherwise("0")
+
+    return hd.select(
+        "doc_id", F.concat(*[bit(j) for j in range(1, _SIM_BITS + 1)]).alias("sketch")
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("j", "bit"))), lambda s: s["bit"]
-    )
-    return per_bit.groupBy("doc_id").agg(F.concat_ws("", ordered).alias("sketch"))
 
 
 @query(

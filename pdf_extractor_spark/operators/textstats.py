@@ -203,28 +203,34 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Rolling 4-gram fingerprint (winnowing-style min-hash of word 4-grams):
-    explode words with positions, window-lead to build grams, min(md5) per
-    doc.  The window partitions on doc_id — corpus-partition-aligned, so the
-    only shuffle is the doc_id hash partitioning it shares with every other
-    per-doc stage."""
+    """Rolling 4-gram fingerprint (winnowing-style min-hash of word 4-grams)
+    — ARRAY-NATIVE (round 2): grams are built per row by a ``transform``
+    over the words array and reduced with ``array_min``.  ZERO shuffles —
+    the round-1 posexplode + window-lead + groupBy formulation shuffled the
+    exploded words twice; this is a pure projection, the plan you want when
+    the corpus is 100 TB.  The oracle (unchanged) still states the
+    window-lead formulation — same values, different physics."""
     d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
-    words = d.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("i", "w")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    d = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 4)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 3),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+                F.element_at(F.col("ws"), i + 3),
+            ).cast("binary")
+        ),
     )
-    win = Window.partitionBy("doc_id").orderBy("i")
-    grams = words.select(
-        "doc_id", "w",
-        F.lead("w", 1).over(win).alias("w1"),
-        F.lead("w", 2).over(win).alias("w2"),
-        F.lead("w", 3).over(win).alias("w3"),
-    ).filter(F.col("w3").isNotNull())
-    g = F.md5(
-        F.concat_ws(" ", "w", "w1", "w2", "w3").cast("binary")
-    )
-    return grams.select("doc_id", g.alias("g")).groupBy("doc_id").agg(
-        F.min("g").alias("fingerprint"),
-        F.count(F.lit(1)).alias("n_grams"),
+    # materialize the gram array once (a repeated `grams` expression would
+    # recompute every md5 twice — no CSE across projection outputs)
+    return d.select("doc_id", grams.alias("gs")).select(
+        "doc_id",
+        F.array_min(F.col("gs")).alias("fingerprint"),
+        F.size(F.col("gs")).cast("long").alias("n_grams"),
     )
 
 
@@ -257,32 +263,53 @@ _QUERY_TERMS = ("data", "spark", "table")
 def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """Term-weighted retrieval scoring (tf x rational idf — the BM25 shape
     with a log-free idf so both engines compute bit-exact weights; only the
-    per-doc sum needs round()).  df is a tiny broadcast side; tf explodes
-    then filters to the query terms — at scale the filter pushes into the
-    tokenizer output before the shuffle."""
+    per-doc sum needs round()).
+
+    ARRAY-NATIVE (round 2): per-term tf is a per-row ``size(filter(words))``
+    — no words explode, no per-(doc,term) shuffle.  The corpus stats
+    (n_docs + per-term df) collapse to ONE single-row aggregate that
+    broadcast-cross-joins back; the round-1 plan exploded every word and
+    shuffled twice before this join."""
     d = fan_out(
         T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""), "doc_id"
     )
-    words = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+
+    def _tf(term: str):
+        # one-arg lambda only: a second (defaulted) parameter would receive
+        # the element index from pyspark's filter, not the default
+        return F.size(F.filter(ws, lambda w: w == F.lit(term)))
+
+    tfs = d.select(
+        "doc_id",
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(_QUERY_TERMS)],
     )
-    tf = (
-        words.filter(F.col("w").isin(*_QUERY_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    stats = tfs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
     )
-    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    # Corpus size folded in as a 1-row aggregate broadcast cross-join: no
-    # driver-side .count() round trip, no literal baked into the plan.
-    n = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "w")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", (F.col("tf") * (F.col("n_docs") / F.col("df"))).alias("s"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.round(F.sum("s"), 6).alias("score"),
-        F.count(F.lit(1)).alias("n_terms"),
+    any_hit = None
+    score = None
+    n_terms = None
+    for i in range(len(_QUERY_TERMS)):
+        hit = F.col(f"tf_{i}") > 0
+        term_s = F.when(
+            hit, F.col(f"tf_{i}") * (F.col("n_docs") / F.col(f"df_{i}"))
+        ).otherwise(F.lit(0.0))
+        any_hit = hit if any_hit is None else (any_hit | hit)
+        score = term_s if score is None else score + term_s
+        n_terms = hit.cast("long") if n_terms is None else n_terms + hit.cast("long")
+    return (
+        tfs.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("score"),
+            n_terms.alias("n_terms"),
+        )
     )
 
 
