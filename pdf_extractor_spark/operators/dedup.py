@@ -67,6 +67,22 @@ _SHINGLES_SQL = """
 """
 
 
+def _shingle_array(spark: SparkSession, sf: str, cap: int) -> DataFrame:
+    """Per-doc DISTINCT char-5-gram shingle ARRAY — the round-2 shape: one
+    row per doc, shingle set intact, so signatures and set intersections run
+    as per-row higher-order folds instead of exploded-row shuffles."""
+    d = fan_out(
+        T(spark, sf, "documents").filter(
+            (F.col("doc_id") < cap) & (F.length("text") >= 5)
+        ),
+        "doc_id",
+    )
+    shs = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    return d.select("doc_id", shs.alias("shs"))
+
+
 def _shingles(spark: SparkSession, sf: str, cap: int) -> DataFrame:
     d = fan_out(
         T(spark, sf, "documents").filter(
@@ -181,16 +197,8 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     At scale: the band-bucket join replaces the all-pairs Jaccard; bucket
     sizes are the skew control (band width tunes precision/recall)."""
-    d = fan_out(
-        T(spark, sf, "documents").filter(
-            (F.col("doc_id") < 200) & (F.length("text") >= 5)
-        ),
-        "doc_id",
-    )
-    shs = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
-    )
-    base = d.select("doc_id", shs.alias("shs"))
+    base = _shingle_array(spark, sf, 200)
+
     def _sig(seed: int):
         # nb: the lambda MUST take exactly one arg — a second parameter
         # (even defaulted) makes pyspark pass the element INDEX into it
@@ -335,32 +343,35 @@ def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     only quadratic-risk stage and banding bounds it.)
 
     Each candidate pair gets its true Jaccard and a verdict at threshold
-    0.5 — the verify step the q_dedup_ngram docstring promises."""
+    0.5 — the verify step the q_dedup_ngram docstring promises.
+
+    ARRAY-NATIVE (round 2): each pair's overlap is ONE per-row
+    ``array_intersect`` over the two intact shingle sets — the round-1 plan
+    joined the exploded shingle rows of both sides through a
+    per-pair-per-shingle shuffle.  Now only (doc_id -> shingle array) joins
+    ship, keyed on the candidate ids."""
     cand = q_minhash_lsh(spark, sf)
-    sh = _shingles(spark, sf, 200)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    base = _shingle_array(spark, sf, 200)
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    paired = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     j = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     )
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.col("inter").cast("long").alias("n_common"),
-            j.alias("jaccard"),
-            F.when(j >= 0.5, "dup").otherwise("candidate").alias("verdict"),
-        )
+    return paired.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("long").alias("n_common"),
+        j.alias("jaccard"),
+        F.when(j >= 0.5, "dup").otherwise("candidate").alias("verdict"),
     )
 
 
