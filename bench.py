@@ -78,7 +78,7 @@ def main() -> None:
     #    measures contention, not extraction.
     # v2: corpus content changed in round 2 (PDF 1.5 dialect docs, real RGB
     # image payloads) — the version tag invalidates any stale staged corpus
-    corpus_path = f"/tmp/bench_corpus_v2_{N_EXTRACT}"
+    corpus_path = f"/tmp/bench_corpus_v3_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -1,0 +1,240 @@
+"""From-scratch baseline JPEG (ITU-T T.81) DECODER — stdlib + numpy.
+
+Scope: baseline sequential DCT, 8-bit, YCbCr or grayscale, 1x1 sampling
+(4:4:4) — the dialect the fixture encoder (sources/synth_jpeg.py) emits and
+the common output of simple encoders.  Progressive, arithmetic coding,
+subsampled chroma, and restart markers raise ``JpegError`` (the error
+side-channel route, same policy as the PDF kernel).
+
+All Huffman and quantization tables are read FROM THE FILE's DHT/DQT
+segments (as the spec requires), so this decoder shares no table constants
+— and no code — with the generator-side encoder (generator/parser honesty
+rule).  The entropy layer is exact: re-deriving the encoder's quantized
+coefficients is lossless; only the DCT/color math is approximate, bounded
+by the quantization step.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegError", "decode_jpeg_baseline"]
+
+
+class JpegError(ValueError):
+    """Malformed or out-of-scope JPEG input."""
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    d[0, :] = np.sqrt(1 / 8)
+    return d
+
+
+_D = _dct_matrix()
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+class _BitReader:
+    """MSB-first entropy-coded segment reader with 0xFF00 unstuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise JpegError("entropy data exhausted")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise JpegError(f"unexpected marker 0xFF{nxt:02x} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, canonical per spec Annex C."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    idx = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if idx >= len(vals):
+                raise JpegError("DHT: short value list")
+            table[(length, code)] = vals[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Sign-extend an s-bit magnitude value (spec F.12 EXTEND)."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
+    """JPEG bytes -> (width, height, channels, packed 8-bit samples)."""
+    if not data.startswith(b"\xff\xd8"):
+        raise JpegError("missing SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    scan_pos = None
+    scan_comps: list[dict] = []
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise JpegError("16-bit quant tables out of scope")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise JpegError(f"precision {precision} out of scope")
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            for c in range(ncomp):
+                cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    raise JpegError("subsampled chroma out of scope (1x1 only)")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError(f"non-baseline SOF 0x{marker:02x} out of scope")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = body[i + 17:i + 17 + nvals]
+                tab = _build_huffman(bits, vals)
+                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                i += 17 + nvals
+        elif marker == 0xDD:
+            raise JpegError("restart intervals out of scope")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append({"id": cs, "dc": tabs >> 4, "ac": tabs & 0xF})
+            scan_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+
+    if width is None or scan_pos is None:
+        raise JpegError("missing SOF/SOS")
+    if len(comps) not in (1, 3):
+        raise JpegError(f"{len(comps)} components out of scope")
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    br = _BitReader(data, scan_pos)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    pred = [0] * len(comps)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+
+    for mby in range(bh):
+        for mbx in range(bw):
+            for sc in scan_comps:
+                ci = by_id[sc["id"]]
+                dc_t = dc_tabs.get(sc["dc"])
+                ac_t = ac_tabs.get(sc["ac"])
+                q = qt.get(comps[ci]["tq"])
+                if dc_t is None or ac_t is None or q is None:
+                    raise JpegError("missing table for scan component")
+                zz = np.zeros(64, dtype=np.int32)
+                s = _huff_decode(br, dc_t)
+                if s > 11:
+                    raise JpegError("bad DC category")
+                diff = _extend(br.bits(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, ac_t)
+                    r, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise JpegError("AC index overrun")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.int32)
+                block[_ZIGZAG] = zz
+                coef = block.reshape(8, 8) * q
+                pix = _D.T @ coef @ _D + 128.0
+                planes[ci][mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pix
+
+    planes = [p[:height, :width] for p in planes]
+    if len(comps) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, 1, out.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, 3, out.tobytes()

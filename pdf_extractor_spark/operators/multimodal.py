@@ -48,10 +48,11 @@ def decode_image_real(payload: bytes, width: int | None = None,
         return {"width": w, "height": h, "channels": ch, "pixels": px,
                 "fmt": "png"}
     if payload.startswith(b"\xff\xd8"):
-        raise NotImplementedError(
-            "JPEG (DCT) decode out of scope — no entropy decoder in this "
-            "stdlib-only codec; payload passes through with declared metadata"
-        )
+        from ..kernels.jpeg import decode_jpeg_baseline
+
+        w, h, ch, px = decode_jpeg_baseline(payload)
+        return {"width": w, "height": h, "channels": ch, "pixels": px,
+                "fmt": "jpeg"}
     if width and height:
         try:
             px = zlib.decompress(payload)

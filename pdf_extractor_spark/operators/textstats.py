@@ -314,6 +314,153 @@ def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_gopher_quality",
+    """
+    SELECT doc_id, n_words,
+           CAST(n_alpha_chars AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+           CAST(n_hash AS BIGINT) AS n_hash,
+           CAST(n_sents - n_distinct_sents AS BIGINT) AS n_dup_sents,
+           CASE WHEN n_words BETWEEN 15 AND 5000
+                     AND CAST(n_alpha_chars AS DOUBLE) / n_words BETWEEN 2 AND 12
+                     AND CAST(n_alpha_words AS DOUBLE) / n_words >= 0.7
+                     AND n_hash * 10 < n_words
+                     AND (n_sents - n_distinct_sents) * 2 < n_sents + 1
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_alpha_chars,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha_words,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             len(regexp_split_to_array(trim(text), '\\. '))
+               AS n_sents,
+             len(list_distinct(regexp_split_to_array(trim(text), '\\. ')))
+               AS n_distinct_sents
+      FROM documents WHERE trim(text) <> '')
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style pretraining quality rules (Rae et al. 2021 §A1.1.2,
+    public paper): word-count bounds, mean word length 2-12, >=70% of words
+    containing an alphabetic char, symbol(#)-to-word ratio, and a
+    duplicate-sentence repetition bound — all per-row array/scalar
+    expressions, zero shuffles.  Ratios are per-row integer divisions:
+    bit-identical across engines."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    sents = F.split(F.trim(F.col("text")), r"\. ")
+    d = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_alpha_chars"),
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).alias("n_alpha_words"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        ).alias("n_hash"),
+        F.size(sents).alias("n_sents"),
+        F.size(F.array_distinct(sents)).alias("n_distinct_sents"),
+    )
+    mean_wl = F.col("n_alpha_chars").cast("double") / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words").cast("double") / F.col("n_words")
+    n_dup = F.col("n_sents") - F.col("n_distinct_sents")
+    verdict = F.when(
+        F.col("n_words").between(15, 5000)
+        & mean_wl.between(2, 12)
+        & (alpha_frac >= 0.7)
+        & (F.col("n_hash") * 10 < F.col("n_words"))
+        & (n_dup * 2 < F.col("n_sents") + 1),
+        "keep",
+    ).otherwise("drop")
+    return d.select(
+        "doc_id", "n_words",
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("n_hash").cast("long").alias("n_hash"),
+        n_dup.cast("long").alias("n_dup_sents"),
+        verdict.alias("verdict"),
+    )
+
+
+@query(
+    "q_url_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN 'Site' ELSE 'site' END)
+             || CAST((doc_id // 2) % 5 AS VARCHAR) || '.org'
+             || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+             || '/path/' || CAST(doc_id // 2 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 1
+                      THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END)
+               AS url
+      FROM documents),
+    norm AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/#]+)', 1)),
+                  ':443$', '')
+             || regexp_replace(
+                  regexp_extract(url, '^[A-Za-z]+://[^/#]+([^#]*)', 1),
+                  '/$', '')
+               AS url_norm
+      FROM raw)
+    SELECT url_norm, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper
+    FROM norm GROUP BY url_norm
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier primitive: lowercase
+    scheme/host, strip the fragment, the :443 default port, and the trailing
+    slash, then keep one doc per canonical url (min doc_id).  The synthetic
+    raw urls vary case/port/slash/fragment per doc_id so each normalization
+    rule is load-bearing; consecutive doc pairs collide by construction."""
+    d = T(spark, sf, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise("HTTPS://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Site")).otherwise("site"),
+        ((F.col("doc_id") / 2).cast("long") % 5).cast("string"),
+        F.lit(".org"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(""),
+        F.lit("/path/"),
+        (F.col("doc_id") / 2).cast("long").cast("string"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(""),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("#frag"), F.col("doc_id").cast("string")),
+        ).otherwise(""),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    norm = F.concat(
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/#]+)", 1)),
+            r":443$", "",
+        ),
+        F.regexp_replace(
+            F.regexp_extract("url", r"^[A-Za-z]+://[^/#]+([^#]*)", 1),
+            r"/$", "",
+        ),
+    )
+    return (
+        raw.select("doc_id", norm.alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper"),
+        )
+    )
+
+
+@query(
     "q_percentiles",
     """
     SELECT lang,

@@ -235,20 +235,31 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                     w, h = rng.randint(8, 49), rng.randint(8, 49)
                 else:
                     w, h = rng.randint(50, 320), rng.randint(50, 240)
-                # Real, decodable RGB pixels (zlib'd raw — the /FlateDecode
-                # /DeviceRGB XObject shape): a deterministic gradient seeded
+                # Real, decodable RGB pixels: a deterministic gradient seeded
                 # by 64 rng bytes.  The 64 draws predate the pixel upgrade,
                 # so every later rng draw — and thus all text goldens — is
-                # byte-identical to the old corpus.
+                # byte-identical to the old corpus.  A quarter of images are
+                # baseline JPEG (/DCTDecode, kernels/jpeg.py dialect); the
+                # rest zlib'd raw RGB (/FlateDecode) — chosen from seed64,
+                # not a fresh draw.
                 seed64 = bytes(rng.getrandbits(8) for _ in range(64))
-                payload = zlib.compress(_rgb_pixels(w, h, seed64), 6)
+                if seed64[3] % 4 == 0:
+                    from .synth_jpeg import encode_jpeg_baseline
+
+                    payload = encode_jpeg_baseline(
+                        w, h, _rgb_pixels(w, h, seed64), 3
+                    )
+                    img_filter = b"/DCTDecode"
+                else:
+                    payload = zlib.compress(_rgb_pixels(w, h, seed64), 6)
+                    img_filter = b"/FlateDecode"
                 img_id = next_id
                 next_id += 1
                 objs[img_id] = (
                     b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                     b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-                    b"/Filter /FlateDecode /Length %d >>\nstream\n"
-                    % (w, h, len(payload)) + payload + b"\nendstream"
+                    b"/Filter %s /Length %d >>\nstream\n"
+                    % (w, h, img_filter, len(payload)) + payload + b"\nendstream"
                 )
                 stream_ids.add(img_id)
                 parts.append(b"/Im%d %d 0 R" % (k, img_id))

@@ -1,0 +1,180 @@
+"""Generator-side baseline JPEG ENCODER (fixture writer, ITU-T T.81).
+
+Exists only to exercise the decoder kernel (kernels/jpeg.py) — shares no
+code or table constants with it (generator/parser honesty rule;
+kernels/jpeg.py reads every table from the DHT/DQT segments this writer
+emits).  Dialect: baseline sequential, 8-bit, 4:4:4 YCbCr (or grayscale),
+flat quantization tables, simple canonical Huffman tables (all DC symbols
+at 4 bits, all AC symbols at 8 bits — valid, merely suboptimal).
+
+Deterministic: same pixels in -> same bytes out.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg_baseline", "QUANT_STEP"]
+
+QUANT_STEP = 8  # flat quant table value (both components)
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# canonical tables: 12 DC symbols at length 4; 162 AC symbols at length 8
+_DC_SYMS = list(range(12))
+_AC_SYMS = [16 * r + s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+_AC_SYMS.sort()
+
+
+def _canonical(bits_len: int, syms: list[int]) -> dict[int, tuple[int, int]]:
+    return {sym: (bits_len, i) for i, sym in enumerate(syms)}
+
+
+_DC_CODES = _canonical(4, _DC_SYMS)
+_AC_CODES = _canonical(8, _AC_SYMS)
+
+
+def _dct_mat() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    m[0, :] = 0.5 / np.sqrt(2)
+    return m
+
+
+_M = _dct_mat()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _put_coeff(bw: _BitWriter, codes: dict, sym: int, v: int, s: int) -> None:
+    length, code = codes[sym]
+    bw.put(code, length)
+    if s:
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _dht_segment(tc_th: int, bits_len: int, syms: list[int]) -> bytes:
+    bits = [0] * 16
+    bits[bits_len - 1] = len(syms)
+    body = bytes([tc_th]) + bytes(bits) + bytes(syms)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
+                         channels: int = 3) -> bytes:
+    """8-bit pixels (packed, row-major) -> baseline JPEG bytes."""
+    if channels not in (1, 3):
+        raise ValueError("1 or 3 channels only")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    arr = arr.astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh_blocks * 8, bw_blocks * 8), dtype=np.float64)
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]  # replicate edges
+        pp[:, width:] = pp[:, width - 1:width]
+        padded.append(pp)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    # DQT: one flat table used by all components
+    q = bytes([QUANT_STEP] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + q
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    # DHT: DC table 0, AC table 0 (shared by all components)
+    out += _dht_segment(0x00, 4, _DC_SYMS)
+    out += _dht_segment(0x10, 8, _AC_SYMS)
+    # SOS
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for mby in range(bh_blocks):
+        for mbx in range(bw_blocks):
+            for ci, p in enumerate(padded):
+                block = p[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] - 128.0
+                coef = _M @ block @ _M.T
+                zq = np.round(coef / QUANT_STEP).astype(np.int64)
+                zz = [int(zq.flat[_ZZ[i]]) for i in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                s = _category(diff)
+                _put_coeff(bw, _DC_CODES, s, diff, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        _put_coeff(bw, _AC_CODES, 0xF0, 0, 0)
+                        run -= 16
+                    s = _category(v)
+                    _put_coeff(bw, _AC_CODES, 16 * run + s, v, s)
+                    run = 0
+                if last_nz < 63:
+                    _put_coeff(bw, _AC_CODES, 0x00, 0, 0)  # EOB
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -48,7 +48,7 @@ N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "64000"))
 GEN_PARTS = 64
 ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
 RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "3"))
-CORPUS = f"/tmp/scale_corpus_v2_{N_DOCS}"  # v2: r2 generator content
+CORPUS = f"/tmp/scale_corpus_v3_{N_DOCS}"  # v3: r2 generator content (incl. JPEG images)
 OUT = "/tmp/scale_out"
 N_SMALL, N_BIG = 4, 16
 

@@ -1,0 +1,76 @@
+"""Baseline JPEG codec: generator-side encoder (sources/synth_jpeg.py) vs
+the independent kernel decoder (kernels/jpeg.py)."""
+
+import numpy as np
+import pytest
+
+from pdf_extractor_spark.kernels.jpeg import JpegError, decode_jpeg_baseline
+from pdf_extractor_spark.sources.synth_jpeg import QUANT_STEP, encode_jpeg_baseline
+
+
+def _gradient(w, h, ch):
+    return bytes(((x * 3 + y * 7 + c * 11) % 256)
+                 for y in range(h) for x in range(w) for c in range(ch))
+
+
+@pytest.mark.parametrize("w,h,ch", [(8, 8, 1), (16, 8, 3), (17, 13, 3),
+                                    (64, 48, 3), (31, 7, 1)])
+def test_roundtrip_bounded_by_quantization(w, h, ch):
+    data = encode_jpeg_baseline(w, h, _gradient(w, h, ch), ch)
+    w2, h2, ch2, out = decode_jpeg_baseline(data)
+    assert (w2, h2, ch2) == (w, h, ch)
+    a = np.frombuffer(_gradient(w, h, ch), np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 3 * QUANT_STEP + 8
+
+
+def test_block_constant_grayscale_is_exact():
+    """DC-only blocks: a block-constant grayscale image survives the whole
+    entropy + DCT path exactly (the entropy layer is lossless; the DCT of a
+    constant block is a single DC coefficient)."""
+    w = h = 32
+    px = bytes(32 * ((x // 8 + (y // 8) * 4) % 8) + 16
+               for y in range(h) for x in range(w))
+    _, _, _, out = decode_jpeg_baseline(encode_jpeg_baseline(w, h, px, 1))
+    assert out == px
+
+
+def test_deterministic():
+    px = _gradient(24, 16, 3)
+    assert encode_jpeg_baseline(24, 16, px, 3) == encode_jpeg_baseline(24, 16, px, 3)
+
+
+def test_hostile_inputs_raise_jpeg_error():
+    good = encode_jpeg_baseline(16, 16, _gradient(16, 16, 3), 3)
+    bad_inputs = [
+        b"",
+        b"\xff\xd8\xff",
+        good[: len(good) // 2],            # truncated mid-scan
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF
+    ]
+    for bad in bad_inputs:
+        with pytest.raises(JpegError):
+            decode_jpeg_baseline(bad)
+
+
+def test_pdf_dct_images_decode_end_to_end():
+    """Generator PDFs now embed /DCTDecode XObjects; the kernel extracts them
+    with format 'jpeg' and the real codec decodes them to declared dims."""
+    import random
+
+    from pdf_extractor_spark.kernels.pdf import parse_pdf
+    from pdf_extractor_spark.operators.multimodal import decode_image_real
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    n_jpeg = 0
+    for doc_id in range(40):
+        pdf_bytes, _ = make_pdf(random.Random((5 << 32) ^ doc_id), doc_id)
+        for page in parse_pdf(pdf_bytes)["pages"]:
+            for img in page["images"]:
+                if img["format"] != "jpeg":
+                    continue
+                dec = decode_image_real(img["payload"])
+                assert (dec["width"], dec["height"]) == (img["width"], img["height"])
+                assert dec["channels"] == 3
+                n_jpeg += 1
+    assert n_jpeg >= 3  # ~25% of embedded images are JPEG
