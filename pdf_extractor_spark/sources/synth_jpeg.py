@@ -146,23 +146,38 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
+    # Vectorized DCT + quantize + zigzag for ALL blocks per component (the
+    # per-block matrix products dominated corpus staging); the entropy
+    # bit-writer below stays per-block/per-nonzero.
+    zz_np = np.array(_ZZ)
+    zz_all: list[np.ndarray] = []
+    for p in padded:
+        blocks = (
+            p.reshape(bh_blocks, 8, bw_blocks, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = np.einsum("ij,njk,lk->nil", _M, blocks, _M)
+        zq = np.round(coef / QUANT_STEP).astype(np.int64).reshape(-1, 64)
+        zz_all.append(zq[:, zz_np])
+
     bw = _BitWriter()
     pred = [0] * ncomp
     for mby in range(bh_blocks):
         for mbx in range(bw_blocks):
-            for ci, p in enumerate(padded):
-                block = p[mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] - 128.0
-                coef = _M @ block @ _M.T
-                zq = np.round(coef / QUANT_STEP).astype(np.int64)
-                zz = [int(zq.flat[_ZZ[i]]) for i in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
+            bi = mby * bw_blocks + mbx
+            for ci in range(ncomp):
+                zz = zz_all[ci][bi]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
                 s = _category(diff)
                 _put_coeff(bw, _DC_CODES, s, diff, s)
                 run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = int(nz[-1]) + 1 if len(nz) else 0
                 for i in range(1, last_nz + 1):
-                    v = zz[i]
+                    v = int(zz[i])
                     if v == 0:
                         run += 1
                         continue
