@@ -308,27 +308,42 @@ def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     changing plan shape); loop it k times for full k-means — each step is
     this exact plan."""
     e = _emb(spark, sf)
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    # ALL centroids in ONE broadcast row; assignment is then a per-row fold
+    # (argmin with cid tie-break — order-independent, so collect_list's
+    # nondeterministic order is harmless).  Zero shuffles for assignment;
+    # the crossJoin of a 1-row broadcast is a BroadcastNestedLoop no-op.
+    cent_row = (
+        T(spark, sf, "embeddings")  # raw scan: 8 rows need no fan-out
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .agg(F.collect_list(F.struct("cid", "cemb")).alias("cents"))
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"), F.col("cemb"),
-                lambda x, c: (x.cast("double") - c.cast("double"))
-                * (x.cast("double") - c.cast("double")),
+
+    def argmin(acc, c):
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c["cemb"],
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+            6,
+        )
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (c["cid"] < acc["cid"]))
+        return F.when(
+            better, F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(2 ** 62).cast("long").alias("cid"),
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    assigned = e.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "embedding",
+        F.aggregate(F.col("cents"), init, argmin)["cid"].alias("cid"),
     )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
