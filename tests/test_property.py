@@ -88,3 +88,104 @@ def test_paragraph_spans_cover_all_nonempty_paragraphs(text):
     spans = paragraph_spans(norm)
     paras = [p for p in norm.split("\n\n") if p]
     assert [norm[s:e] for s, e in spans] == paras
+
+
+# ---------------------------------------------------------------------------
+# Round-2 codec / dialect properties
+# ---------------------------------------------------------------------------
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 3, 4]),
+       st.integers(0, 2**31 - 1))
+def test_png_roundtrip_random(w, h, ch, seed):
+    import random as _r
+
+    from pdf_extractor_spark.kernels.png import decode_png, encode_png
+
+    rng = _r.Random(seed)
+    px = bytes(rng.getrandbits(8) for _ in range(w * h * ch))
+    assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_png_decode_is_total_or_png_error(data):
+    from pdf_extractor_spark.kernels.png import PngError, decode_png
+
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except PngError:
+        pass  # the only allowed failure mode
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2**31 - 1))
+def test_jpeg_roundtrip_error_bounded(w, h, seed):
+    import random as _r
+
+    import numpy as np
+
+    from pdf_extractor_spark.kernels.jpeg import decode_jpeg_baseline
+    from pdf_extractor_spark.sources.synth_jpeg import (
+        QUANT_STEP,
+        encode_jpeg_baseline,
+    )
+
+    rng = _r.Random(seed)
+    px = bytes(rng.getrandbits(8) for _ in range(w * h * 3))
+    w2, h2, ch2, out = decode_jpeg_baseline(encode_jpeg_baseline(w, h, px, 3))
+    assert (w2, h2, ch2) == (w, h, 3)
+    a = np.frombuffer(px, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    # white noise is the worst case for DCT quantization; still bounded
+    assert np.abs(a - b).max() <= 16 * QUANT_STEP
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=1024))
+def test_jpeg_decode_is_total_or_jpeg_error(data):
+    from pdf_extractor_spark.kernels.jpeg import JpegError, decode_jpeg_baseline
+
+    try:
+        decode_jpeg_baseline(b"\xff\xd8" + data)
+    except JpegError:
+        pass  # the only allowed failure mode
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_pdf_dialects_parse_identically(seed):
+    import random as _r
+
+    from pdf_extractor_spark.kernels.pdf import parse_pdf
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    classic, lines = make_pdf(_r.Random(seed), seed % 1000, dialect="classic")
+    modern, _ = make_pdf(_r.Random(seed), seed % 1000, dialect="modern")
+    rc, rm = parse_pdf(classic), parse_pdf(modern)
+    assert [p["text"] for p in rc["pages"]] == [p["text"] for p in rm["pages"]]
+    assert rc["metadata"] == rm["metadata"]
+    assert [p["text"] for p in rc["pages"]] == ["\n".join(ls) for ls in lines]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=512))
+def test_filter_decoders_total_or_pdf_error(data):
+    """ASCIIHex/ASCII85/RLE/predictor decoders must raise PdfError or return
+    bytes on arbitrary input — never leak another exception type."""
+    from pdf_extractor_spark.kernels.pdf import (
+        PdfError,
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _png_unpredict,
+        _run_length_decode,
+    )
+
+    for fn in (_ascii_hex_decode, _ascii85_decode, _run_length_decode):
+        try:
+            assert isinstance(fn(data), bytes)
+        except PdfError:
+            pass
+    try:
+        _png_unpredict(data, columns=5)
+    except PdfError:
+        pass
