@@ -129,22 +129,48 @@ def main(argv: list[str] | None = None,
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    # docs table always written (it carries the summary); text column dropped
-    # only under --no-text
-    from .plans.pipeline import extracted_docs, write_tables_csv
+    # Every written artifact honors --pages (reference semantics: the result
+    # contains ONLY the requested pages — core/extractor.py:119-120).  The
+    # page-filtered doc table is reassembled relationally from the filtered
+    # pages via the zero-shuffle doc_text_expr; without --pages the slim
+    # kernel path writes the full doc table directly.
+    from .plans.pipeline import doc_text_expr, extracted_docs, write_tables_csv
 
-    docs = extracted_docs(df)
+    pages_df = api.extract(df, pages=pages)
+    if pages:
+        docs = (
+            pages_df.groupBy("url", "kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.collect_list(F.struct("page_number", "text")).alias("_pl"),
+                F.sum("char_count").cast("long").alias("total_chars"),
+                F.sum("word_count").cast("long").alias("total_words"),
+            )
+            .select(
+                "url", "kind", "n_pages",
+                doc_text_expr(F.col("_pl"), F.col("kind")).alias("text"),
+                "total_chars", "total_words",
+            )
+        )
+    else:
+        docs = extracted_docs(df)
     if args.no_text:
         docs = docs.drop("text")
     docs.write.mode("overwrite").parquet(str(out / "docs"))
     if not args.no_json:
-        api.to_json_rows(df).select("json").write.mode("overwrite").text(
-            str(out / "json")
-        )
+        if pages:
+            json_rows = docs.select(
+                "url", F.to_json(F.struct(*docs.columns)).alias("json")
+            )
+        else:
+            json_rows = api.to_json_rows(df)
+        json_rows.select("json").write.mode("overwrite").text(str(out / "json"))
     if not args.no_images:
         imgs = api.extract_images_only(
             df, min_width=args.min_image_size, min_height=args.min_image_size
         )
+        if pages:
+            imgs = imgs.filter(F.col("page_number").isin(pages))
         if args.image_format:  # extension override, never a crash
             imgs = imgs.withColumn(
                 "artifact_name",
@@ -156,9 +182,10 @@ def main(argv: list[str] | None = None,
         imgs.write.mode("overwrite").parquet(str(out / "images"))
     if not args.no_tables:
         tables = api.extract_tables_only(df)
+        if pages:
+            tables = tables.filter(F.col("page_number").isin(pages))
         write_tables_csv(tables, str(out / "tables"))
 
-    pages_df = api.extract(df, pages=pages)
     summary = pages_df.agg(
         F.count(F.lit(1)).alias("n_pages"),
         F.sum(F.size("blocks")).alias("blocks"),

@@ -64,6 +64,8 @@ class _BitReader:
             nxt = d[self.pos] if self.pos < len(d) else None
             if nxt == 0x00:
                 self.pos += 1
+            elif nxt is None:
+                raise JpegError("entropy data ends mid-marker (0xFF at EOF)")
             else:
                 raise JpegError(f"unexpected marker 0xFF{nxt:02x} in scan")
         self.acc = (self.acc << 8) | b
@@ -74,6 +76,9 @@ class _BitReader:
             self._fill()
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # drop consumed high bits: an unmasked accumulator grows by 8 bits
+        # per scan byte and turns entropy decoding quadratic
+        self.acc &= (1 << self.n) - 1
         return v
 
     def bit(self) -> int:

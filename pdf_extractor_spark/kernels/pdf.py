@@ -370,10 +370,21 @@ class Document:
         self.data = data
         self.xref: dict[int, int] = {}
         self.xref_compressed: dict[int, tuple[int, int]] = {}
+        # objects FREED by the newest section that mentions them: a free
+        # entry must shadow any older /Prev section's live entry, else an
+        # incremental update's deleted object gets resurrected
+        self.xref_free: set[int] = set()
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_loaded: set[int] = set()
         self._parse_xref_chain()
+
+    def _xref_seen(self, num: int) -> bool:
+        return (
+            num in self.xref
+            or num in self.xref_compressed
+            or num in self.xref_free
+        )
 
     # -- xref -------------------------------------------------------------
     def _parse_xref_chain(self) -> None:
@@ -416,8 +427,12 @@ class Document:
                 em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", entry)
                 if not em:
                     raise PdfError(f"bad xref entry at {lx.pos}")
-                if em.group(3) == b"n" and (start + i) not in self.xref:
-                    self.xref[start + i] = int(em.group(1))
+                num = start + i
+                if not self._xref_seen(num):
+                    if em.group(3) == b"n":
+                        self.xref[num] = int(em.group(1))
+                    else:
+                        self.xref_free.add(num)
                 lx.pos += 20 if entry[18:19] in (b"\r", b"\n", b" ") else em.end()
 
     def _parse_xref_stream(self, pos: int):
@@ -462,13 +477,14 @@ class Document:
                     )
                     off += width
                 ftype = fields[0] if fields[0] is not None else 1  # default type 1
-                if num in self.xref or num in self.xref_compressed:
+                if self._xref_seen(num):
                     continue  # first (newest) section wins
                 if ftype == 1:
                     self.xref[num] = fields[1]
                 elif ftype == 2:
                     self.xref_compressed[num] = (fields[1], fields[2] or 0)
-                # ftype 0: free entry — skip
+                else:  # ftype 0: freed HERE — shadows older /Prev entries
+                    self.xref_free.add(num)
         if not self.trailer:
             self.trailer = {
                 k: d[k] for k in (Name("Root"), Name("Info"), Name("Size"))
@@ -540,9 +556,12 @@ class Document:
         parms = self.resolve(
             st.dict.get(Name("DecodeParms")) or st.dict.get(Name("DP"))
         )
-        parms_list = parms if isinstance(parms, list) else [parms] + [None] * (
-            len(filters) - 1
-        )
+        if isinstance(parms, list):
+            # pad: a short /DecodeParms array must not truncate the filter
+            # chain via zip — missing entries mean "no parms for that filter"
+            parms_list = parms + [None] * (len(filters) - len(parms))
+        else:
+            parms_list = [parms] + [None] * (len(filters) - 1)
         data = st.raw
         for f, p in zip(filters, parms_list):
             f = self.resolve(f)

@@ -7,9 +7,9 @@ version-dependent anyway — so the codec is built here on ``zlib`` + pure
 integer math, making every output byte a deterministic function of the
 input:
 
-* ``encode_png`` / ``decode_png`` — 8-bit RGB / RGBA / grayscale, row-filter
-  None on encode, all five PNG filters understood on decode (same filter
-  algebra as the PDF xref-stream predictor, kernels/pdf.py);
+* ``encode_png`` / ``decode_png`` — 8-bit gray / gray+alpha / RGB / RGBA,
+  row-filter None on encode, all five PNG filters understood on decode
+  (same filter algebra as the PDF xref-stream predictor, kernels/pdf.py);
 * ``enhance`` — contrast x1.3 around the 128 midpoint then a 3x3 unsharp
   pass (x1.5), the reference's ImageEnhance recipe restated as exact
   integer math;
@@ -52,14 +52,15 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
     """8-bit image -> PNG bytes (filter 0 rows, one zlib IDAT).
-    ``pixels`` is row-major packed samples, len == width*height*channels."""
-    if channels not in (1, 3, 4):
+    ``pixels`` is row-major packed samples, len == width*height*channels.
+    channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+    if channels not in (1, 2, 3, 4):
         raise PngError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
         raise PngError(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
-    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     raw = bytearray()
     stride = width * channels
     for y in range(height):
@@ -137,10 +138,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise PngError(f"bit depth {depth} out of scope (8 only)")
-            if ctype not in _CHANNELS or ctype == 4:
-                if ctype == 3:
-                    raise PngError("palette PNG out of scope")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if ctype == 3:
+                raise PngError("palette PNG out of scope")
+            channels = _CHANNELS.get(ctype)
             if channels is None:
                 raise PngError(f"color type {ctype} out of scope")
             if ilace:

@@ -512,8 +512,13 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         if it % 5 == 4:
             # truncate lineage every k iterations: persist caches data but
             # the logical plan still grows per round — on a big graph the
-            # planner cost and any recompute-after-eviction would blow up
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # planner cost and any recompute-after-eviction would blow up.
+            # Unpersist the pre-checkpoint frame: the checkpoint holds its
+            # own copy, and the later labels.unpersist() releases the
+            # checkpointed one, so nothing leaks in executor storage.
+            cp = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = cp
         checksum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels

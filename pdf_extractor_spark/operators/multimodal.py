@@ -13,8 +13,9 @@ Two codec tiers:
   against a SQL-stated pixel formula.
 * STUB (kept): payloads that are arbitrary bytes (the documents.text
   stand-ins) use the deterministic metadata stub so the plumbing queries
-  stay value-verified on any input.  JPEG (DCT) remains a declared
-  out-of-scope seam — no entropy decoder here.
+  stay value-verified on any input.  Baseline JPEG decodes for real via
+  kernels/jpeg.py; only non-baseline JPEG dialects (progressive,
+  subsampled, arithmetic) remain out of scope and error-route.
 """
 
 from __future__ import annotations
@@ -37,12 +38,13 @@ FRAME_SCHEMA = "doc_id long, frame_idx long"
 
 def decode_image_real(payload: bytes, width: int | None = None,
                       height: int | None = None) -> dict:
-    """Real image decode (kernels/png.py).
+    """Real image decode (kernels/png.py + kernels/jpeg.py).
 
-    PNG payloads are self-describing; zlib raw-RGB payloads (PDF
-    /FlateDecode /DeviceRGB XObjects) need the declared width/height from
-    the XObject dict.  JPEG (DCTDecode) raises: writing a baseline-JPEG
-    entropy decoder is out of scope, and that seam is explicit."""
+    PNG and baseline-JPEG payloads are self-describing; zlib raw-RGB
+    payloads (PDF /FlateDecode /DeviceRGB XObjects) need the declared
+    width/height from the XObject dict.  Non-baseline JPEG dialects
+    (progressive / subsampled / arithmetic) raise JpegError from the
+    kernel — the error-side-channel route."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         w, h, ch, px = decode_png(payload)
         return {"width": w, "height": h, "channels": ch, "pixels": px,

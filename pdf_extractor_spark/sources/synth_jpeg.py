@@ -69,6 +69,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # keep only the unemitted low bits — otherwise the accumulator grows
+        # without bound and big-int shifts make encoding quadratic
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:

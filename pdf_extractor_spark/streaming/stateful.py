@@ -52,27 +52,30 @@ def _update_host(
 
 
 _DEDUP_OUT = "h string, url string, n_dups long"
-_DEDUP_STATE = "n_seen long"
+_DEDUP_STATE = "n_seen long, keeper string"
 
 
 def _dedup_group(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """First occurrence of a content hash passes; every later one (same
-    batch, later batch, or post-restart — state lives in the checkpoint) is
-    suppressed and counted."""
-    n_seen = state.get[0] if state.exists else 0
-    first_url = None
+    """First occurrence of a content hash becomes the KEEPER (stored in
+    state); every batch that touches the hash — first sighting or later
+    re-crawls, same run or post-restart — emits the updated
+    (hash, keeper, n_dups) row, so duplicate counts stay observable in
+    update mode instead of freezing at the first emission."""
+    if state.exists:
+        n_seen, keeper = state.get
+    else:
+        n_seen, keeper = 0, None
     for pdf in pdfs:
         for url in pdf["url"]:
             if n_seen == 0:
-                first_url = url
+                keeper = url
             n_seen += 1
-    state.update((n_seen,))
-    if first_url is not None:
-        yield pd.DataFrame(
-            {"h": [key[0]], "url": [first_url], "n_dups": [n_seen - 1]}
-        )
+    state.update((n_seen, keeper))
+    yield pd.DataFrame(
+        {"h": [key[0]], "url": [keeper], "n_dups": [n_seen - 1]}
+    )
 
 
 def dedup_stream(

@@ -63,6 +63,26 @@ def test_cli_toggles_and_pages(spark, tmp_path, doc_dir):
     assert "text" not in docs.columns
 
 
+def test_cli_pages_filters_every_written_artifact(spark, tmp_path, doc_dir):
+    """--pages must shape the OUTPUT datasets, not just the summary: the
+    3-page PDF contributes only page 1, and the doc text is reassembled
+    from the surviving pages alone."""
+    import pyspark.sql.functions as F
+
+    out = tmp_path / "out3"
+    rc = main([str(doc_dir), "--output-dir", str(out), "--pages", "1"],
+              spark=spark)
+    assert rc == 0
+    docs = spark.read.parquet(str(out / "docs"))
+    assert {r["n_pages"] for r in docs.select("n_pages").collect()} == {1}
+    pdf_text = docs.filter(F.col("kind") == "pdf").select("text").collect()
+    for r in pdf_text:
+        assert "=== Page 1 ===" in r["text"]
+        assert "=== Page 2 ===" not in r["text"]
+    imgs = spark.read.parquet(str(out / "images"))
+    assert imgs.filter(F.col("page_number") != 1).count() == 0
+
+
 def test_cli_bad_pages_and_missing_input(spark, tmp_path):
     assert main(["nonexistent-dir-xyz"], spark=spark) == 1
     assert main([str(tmp_path), "--pages", "1,x"], spark=spark) == 1

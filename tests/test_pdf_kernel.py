@@ -203,3 +203,60 @@ def test_modern_dialect_hostile_inputs():
             pass  # expected
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"non-PdfError escaped: {type(e).__name__}: {e}")
+
+
+def test_decodeparms_shorter_than_filter_chain_still_decodes_all_filters():
+    """A /DecodeParms array shorter than /Filter must not truncate the
+    decode chain (zip-truncation regression)."""
+    import base64
+    import random
+    import zlib
+
+    from pdf_extractor_spark.kernels.pdf import Document, Name, Stream
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    doc = Document(make_pdf(random.Random(2), 2)[0])
+    payload = b"hello chained filters"
+    raw = base64.a85encode(zlib.compress(payload)) + b"~>"
+    st = Stream(
+        {Name("Filter"): [Name("ASCII85Decode"), Name("FlateDecode")],
+         Name("DecodeParms"): [None]},
+        raw,
+    )
+    assert doc.stream_data(st) == payload
+    st2 = Stream(
+        {Name("Filter"): [Name("ASCII85Decode"), Name("FlateDecode")],
+         Name("DecodeParms"): []},
+        raw,
+    )
+    assert doc.stream_data(st2) == payload
+
+
+def test_incremental_update_free_entry_shadows_prev_section():
+    """An incremental update marking an object FREE must shadow the older
+    /Prev section's live entry — the freed object reads as absent, not as
+    its stale content (resurrection regression)."""
+    import random
+    import re
+
+    from pdf_extractor_spark.kernels.pdf import Document, parse_pdf
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    base, _ = make_pdf(random.Random(4), 4, dialect="classic")
+    assert parse_pdf(base)["metadata"]  # Info present initially
+
+    info_id = int(re.search(rb"/Info (\d+) 0 R", base).group(1))
+    old_xref = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+    update = (
+        b"xref\n%d 1\n0000000000 65535 f \n" % info_id
+        + b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\n" % (size, old_xref)
+        + b"startxref\n%d\n%%%%EOF\n" % len(base)
+    )
+    updated = base + update
+    doc = Document(updated)
+    assert doc.get_object(info_id) is None  # freed, not resurrected
+    assert parse_pdf(updated)["metadata"] == {}  # Info gone
+    # text content is untouched by the update
+    assert [p["text"] for p in parse_pdf(updated)["pages"]] == \
+           [p["text"] for p in parse_pdf(base)["pages"]]

@@ -140,7 +140,8 @@ def test_streaming_dedup_suppresses_across_batches_and_restarts(spark, tmp_path)
     q = dedup_stream(spark, src, out, ckpt)
     q.awaitTermination(120)
     first = spark.read.parquet(out)
-    assert first.count() == 40  # all payloads distinct -> all pass
+    assert first.count() == 40  # all payloads distinct -> all keepers
+    assert first.filter(F.col("n_dups") > 0).count() == 0
 
     # second segment: 20 exact re-crawls (same doc ids => same bytes) + 15 new
     _write_slice(spark, src, 10, 30)
@@ -148,6 +149,14 @@ def test_streaming_dedup_suppresses_across_batches_and_restarts(spark, tmp_path)
     q = dedup_stream(spark, src, out, ckpt)
     q.awaitTermination(120)
     all_rows = spark.read.parquet(out)
-    # only the 15 genuinely-new payloads emitted a row in drain 2
-    assert all_rows.count() == 55
+    # drain 2 emits updated rows for the 20 re-crawled hashes + 15 new ones
+    assert all_rows.count() == 40 + 35
     assert all_rows.select("h").distinct().count() == 55
+    # latest state per hash: re-crawled hashes show n_dups=1, keeper stable
+    latest = all_rows.groupBy("h").agg(
+        F.max("n_dups").alias("n_dups"),
+        F.count_distinct("url").alias("n_keepers"),
+    )
+    assert latest.filter(F.col("n_dups") == 1).count() == 20
+    assert latest.filter(F.col("n_dups") == 0).count() == 35
+    assert latest.filter(F.col("n_keepers") != 1).count() == 0  # keeper never changes
