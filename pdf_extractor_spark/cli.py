@@ -172,11 +172,15 @@ def main(argv: list[str] | None = None,
         if pages:
             imgs = imgs.filter(F.col("page_number").isin(pages))
         if args.image_format:  # extension override, never a crash
+            # one whole-string regexp: a name with no extension still gets a
+            # dotted suffix instead of 'name42webp'.  Anchored ^...$ so the
+            # optional-extension group can't zero-width-match a second time
+            # at end of string (Java replaceAll would double the suffix).
             imgs = imgs.withColumn(
                 "artifact_name",
-                F.concat(
-                    F.regexp_replace("artifact_name", r"\.[a-z0-9]+$", "."),
-                    F.lit(args.image_format),
+                F.regexp_replace(
+                    "artifact_name", r"^(.*?)(\.[a-z0-9]+)?$",
+                    "$1." + args.image_format,
                 ),
             )
         imgs.write.mode("overwrite").parquet(str(out / "images"))

@@ -519,6 +519,12 @@ class Document:
         for i in range(n):
             onum = int(header[2 * i])
             ooff = int(header[2 * i + 1])
+            # Only cache objects whose NEWEST xref entry actually points into
+            # this stream at this index: an incremental update may supersede
+            # an ObjStm-carried object, and an unconditional cache fill would
+            # resurrect the stale copy past the newest-section-wins shadowing.
+            if self.xref_compressed.get(onum) != (stm_num, i):
+                continue
             lx = _Lexer(data, first + ooff)
             self._cache[onum] = lx.parse_object()
 

@@ -172,8 +172,9 @@ def enhance(width: int, height: int, channels: int, pixels: bytes,
     """Reference recipe (simple_extract.py:64-68): contrast x1.3 then
     sharpness x1.5 — as exact rational integer math.
 
-    Contrast: p' = 128 + (p - 128) * 13/10 (truncating division toward
-    zero, clamped).  Sharpness: unsharp mask against the 3x3 box blur,
+    Contrast: p' = 128 + (p - 128) * 13/10 (floor division — rounds toward
+    negative infinity, which differs from truncation for pixels below 128;
+    the SQL oracle states the same floor semantics — clamped).  Sharpness: unsharp mask against the 3x3 box blur,
     p'' = blur + (p' - blur) * 15/10, edge pixels use clamped neighbors."""
     stride = width * channels
     con = bytearray(len(pixels))

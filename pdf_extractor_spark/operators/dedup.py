@@ -513,9 +513,12 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             # truncate lineage every k iterations: persist caches data but
             # the logical plan still grows per round — on a big graph the
             # planner cost and any recompute-after-eviction would blow up.
-            # Unpersist the pre-checkpoint frame: the checkpoint holds its
-            # own copy, and the later labels.unpersist() releases the
-            # checkpointed one, so nothing leaks in executor storage.
+            # Unpersist the pre-checkpoint frame; the checkpoint holds its
+            # own copy.  NB: unpersist() does NOT free localCheckpoint RDD
+            # blocks — those are released by the ContextCleaner only when
+            # the RDD is garbage-collected, so rebinding `labels` each round
+            # (dropping the last reference) is what actually bounds the
+            # checkpoint storage to O(1) recent copies.
             cp = new_labels.localCheckpoint(eager=True)
             new_labels.unpersist()
             new_labels = cp

@@ -38,6 +38,10 @@ def test_cli_extract_writes_datasets(spark, tmp_path, doc_dir, capsys):
     # reference's main.py:135 crashes on this flag)
     for r in imgs.select("artifact_name").collect():
         assert r["artifact_name"].endswith(".webp")
+        # exactly one suffix swap: no doubled '.webp.webp' (zero-width
+        # second regex match) and the stem survives
+        assert not r["artifact_name"].endswith(".webp.webp")
+        assert r["artifact_name"].startswith("page_")
     assert (out / "json").is_dir() and (out / "tables").is_dir()
 
 
