@@ -12,12 +12,15 @@ same (y, x) ordering to native MuPDF) and image xref walk
 Scope: the PDF 1.4-1.5 dialects produced by ``tests/gen_fixtures.py`` —
 classic xref tables AND cross-reference streams (/Type /XRef with /W
 field widths, /Index subsections, and PNG predictors), object streams
-(/Type /ObjStm compressed objects), and the filter set FlateDecode,
+(/Type /ObjStm compressed objects), the filter set FlateDecode,
 ASCIIHexDecode, ASCII85Decode, RunLengthDecode (chainable, with
-/DecodeParms predictor support), Latin-1-ish simple fonts.  Remaining
-out-of-dialect constructs (CMap/ToUnicode composite fonts, encryption)
-raise ``PdfError`` so the pipeline can route the row to the error
-side-channel instead of crashing the task (SURVEY.md OP-32 mapping).
+/DecodeParms predictor support), Latin-1-ish simple fonts AND
+Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
+bfrange / array-destination bfrange, 1- or 2-byte codespaces).
+Remaining out-of-dialect constructs (e.g. a Type0 font without
+/ToUnicode) raise ``PdfError`` so the pipeline can route the row to the
+error side-channel instead of crashing the task (SURVEY.md OP-32
+mapping).
 
 Deterministic: pure function of the input bytes.
 """
@@ -639,14 +642,132 @@ def _decode_pdf_string(b: bytes) -> str:
     return b.decode("latin-1")
 
 
+# --------------------------------------------------------------------------
+# Composite (Type0/CID) fonts: ToUnicode CMap text mapping (PDF 32000-1
+# §9.7/§9.10.3; the reference reads these via MuPDF,
+# /root/reference/pdf_extractor/extractors/text_extractor.py:51-53).
+# --------------------------------------------------------------------------
+_HEX_TOK = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CSRANGE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+
+
+def _hexbytes(tok: bytes) -> bytes:
+    hx = _WS_RE.sub(b"", tok)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap -> (code -> unicode string, code byte width).
+
+    Supports bfchar sections, bfrange with scalar destination (consecutive
+    code points) and bfrange with an array destination; destination hex is
+    UTF-16BE (may be multi-code-unit).  Code width comes from the
+    codespacerange (Identity-H CMaps declare <0000> <FFFF> → 2)."""
+    width = 2
+    m = _CSRANGE_RE.search(data)
+    if m:
+        toks = _HEX_TOK.findall(m.group(1))
+        if toks:
+            width = max(1, len(_hexbytes(toks[0])))
+    cmap: dict[int, str] = {}
+    for sec in _BFCHAR_RE.findall(data):
+        toks = _HEX_TOK.findall(sec)
+        for i in range(0, len(toks) - 1, 2):
+            src = int.from_bytes(_hexbytes(toks[i]), "big")
+            cmap[src] = _hexbytes(toks[i + 1]).decode("utf-16-be", "replace")
+    for sec in _BFRANGE_RE.findall(data):
+        pos = 0
+        while True:
+            mlo = _HEX_TOK.search(sec, pos)
+            if not mlo:
+                break
+            mhi = _HEX_TOK.search(sec, mlo.end())
+            if not mhi:
+                break
+            lo = int.from_bytes(_hexbytes(mlo.group(1)), "big")
+            hi = int.from_bytes(_hexbytes(mhi.group(1)), "big")
+            # destination: array of hex strings, or one scalar hex start
+            nxt = sec[mhi.end():].lstrip()
+            if nxt.startswith(b"["):
+                close = sec.find(b"]", mhi.end())
+                if close < 0:
+                    raise PdfError("bfrange: unterminated array destination")
+                dsts = _HEX_TOK.findall(sec[mhi.end():close])
+                for off, d in enumerate(dsts):
+                    if lo + off <= hi:
+                        cmap[lo + off] = _hexbytes(d).decode(
+                            "utf-16-be", "replace")
+                pos = close + 1
+            else:
+                mdst = _HEX_TOK.search(sec, mhi.end())
+                if not mdst:
+                    break
+                start = _hexbytes(mdst.group(1))
+                base = int.from_bytes(start, "big")
+                for off in range(hi - lo + 1):
+                    cmap[lo + off] = (base + off).to_bytes(
+                        max(2, len(start)), "big").decode("utf-16-be", "replace")
+                pos = mdst.end()
+    if not cmap:
+        raise PdfError("ToUnicode CMap with no bfchar/bfrange mappings")
+    return cmap, width
+
+
+class _CidDecoder:
+    """String-show decoder for a Type0 font: split the byte string into
+    fixed-width codes and map each through the ToUnicode CMap."""
+
+    __slots__ = ("cmap", "width")
+
+    def __init__(self, cmap: dict[int, str], width: int) -> None:
+        self.cmap = cmap
+        self.width = width
+
+    def __call__(self, b: bytes) -> str:
+        w = self.width
+        out: list[str] = []
+        for i in range(0, len(b) - w + 1, w):
+            out.append(self.cmap.get(int.from_bytes(b[i:i + w], "big"),
+                                     "�"))
+        return "".join(out)
+
+
+def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
+    """/Resources /Font -> {font name: decoder}.  Simple fonts use the
+    default Latin-1 decode (None marker); Type0 fonts decode through their
+    ToUnicode CMap.  A Type0 font WITHOUT /ToUnicode is out of dialect —
+    there is no text mapping to extract — and error-routes via PdfError."""
+    res = doc.resolve(page.get(Name("Resources"))) or {}
+    fonts = doc.resolve(res.get(Name("Font"))) or {}
+    out: dict[str, object] = {}
+    for fname, fref in fonts.items():
+        fd = doc.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        if doc.resolve(fd.get(Name("Subtype"))) == "Type0":
+            tu = doc.resolve(fd.get(Name("ToUnicode")))
+            if not isinstance(tu, Stream):
+                raise PdfError(f"Type0 font {fname} without /ToUnicode CMap")
+            cmap, width = _parse_tounicode(doc.stream_data(tu))
+            out[str(fname)] = _CidDecoder(cmap, width)
+        else:
+            out[str(fname)] = None
+    return out
+
+
 class _TextState:
-    __slots__ = ("tm", "tlm", "leading", "size")
+    __slots__ = ("tm", "tlm", "leading", "size", "font")
 
     def __init__(self) -> None:
         self.tm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)  # a b c d e f
         self.tlm = self.tm
         self.leading = 0.0
         self.size = 12.0
+        self.font = ""
 
 
 def _mat_mul(m1, m2):
@@ -662,13 +783,24 @@ def _mat_mul(m1, m2):
     )
 
 
-def _extract_runs(content: bytes) -> list[dict]:
-    """Interpret text operators; emit runs {x, y, text, size}."""
+def _extract_runs(content: bytes,
+                  fonts: dict[str, object] | None = None) -> list[dict]:
+    """Interpret text operators; emit runs {x, y, text, size}.
+
+    ``fonts`` maps resource font names to decoders (None = simple-font
+    Latin-1 default; a callable = composite-font ToUnicode decode)."""
+    fonts = fonts or {}
     runs: list[dict] = []
     ts: _TextState | None = None
     operands: list = []
     ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     ctm_stack: list = []
+
+    def decode(b) -> str:
+        if not isinstance(b, bytes):
+            return ""
+        dec = fonts.get(ts.font) if ts is not None else None
+        return dec(b) if dec is not None else _decode_pdf_string(b)
 
     def emit(s: str) -> None:
         if ts is None or not s:
@@ -704,6 +836,8 @@ def _extract_runs(content: bytes) -> list[dict]:
                 ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
             elif ts is not None:
                 if op == "Tf" and len(operands) >= 2:
+                    if isinstance(operands[-2], str):
+                        ts.font = str(operands[-2])
                     ts.size = float(operands[-1])
                 elif op == "Td" and len(operands) >= 2:
                     next_line(float(operands[-2]), float(operands[-1]))
@@ -718,16 +852,16 @@ def _extract_runs(content: bytes) -> list[dict]:
                 elif op == "T*":
                     next_line(0.0, -ts.leading)
                 elif op == "Tj" and operands:
-                    emit(_decode_pdf_string(operands[-1]))
+                    emit(decode(operands[-1]))
                 elif op == "'" and operands:
                     next_line(0.0, -ts.leading)
-                    emit(_decode_pdf_string(operands[-1]))
+                    emit(decode(operands[-1]))
                 elif op == '"' and len(operands) >= 3:
                     next_line(0.0, -ts.leading)
-                    emit(_decode_pdf_string(operands[-1]))
+                    emit(decode(operands[-1]))
                 elif op == "TJ" and operands and isinstance(operands[-1], list):
                     parts = [
-                        _decode_pdf_string(el)
+                        decode(el)
                         for el in operands[-1]
                         if isinstance(el, bytes)
                     ]
@@ -844,7 +978,7 @@ def parse_pdf(data: bytes) -> dict:
             for s in streams
             if isinstance(doc.resolve(s), Stream)
         )
-        runs = _extract_runs(buf)
+        runs = _extract_runs(buf, _page_fonts(doc, pg))
         text, blocks = _assemble_text(runs)
         pages.append({
             "page_number": i + 1,  # 1-indexed like the reference (OP-19)

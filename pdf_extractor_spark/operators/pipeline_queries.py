@@ -240,3 +240,70 @@ def q_pdf_dialects(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("m").cast("long").alias("n_text_match"),
         F.sum("p").cast("long").alias("total_pages"),
     )
+
+
+_N_CMAP_DOCS = 100
+_CMAP_TOTAL_PAGES = 253  # generator spec: sum of planned page counts
+                         # (scripts/derive_kind_expectations.py)
+
+
+@query(
+    "q_pdf_cmap",
+    # Structural (non-circular) oracle, same discipline as q_pdf_dialects:
+    # the SAME document serialized with a simple Type1 font (literal Latin-1
+    # strings) and with a composite Type0/Identity-H font (hex CID strings +
+    # ToUnicode CMap with bfchar AND bfrange sections) must parse to
+    # byte-identical text and page structure; the page total comes from the
+    # generator's page plan, not from the parser.
+    f"""
+    SELECT CAST({_N_CMAP_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_CMAP_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_CMAP_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_cmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite-font gate (round-3 item 1; reference reads CMap fonts via
+    MuPDF, text_extractor.py:51-53): serialize 100 documents with simple AND
+    Type0/CID+ToUnicode fonts executor-side — alternating classic/modern
+    xref dialects underneath — parse both with the kernel, and require
+    text/metadata/page equality per document plus the generator-spec page
+    total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                dialect = "modern" if doc_id % 2 else "classic"
+                rs = parse_pdf(make_pdf(
+                    _random.Random(f"cmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="simple")[0])
+                rc = parse_pdf(make_pdf(
+                    _random.Random(f"cmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid")[0])
+                same = (
+                    [p["text"] for p in rs["pages"]]
+                    == [p["text"] for p in rc["pages"]]
+                    and rs["metadata"] == rc["metadata"]
+                    and rs["n_pages"] == rc["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rs["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_CMAP_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )

@@ -60,9 +60,61 @@ def _pdf_escape(s: str) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
+def _simple_string(s: str) -> bytes:
+    return b"(" + _pdf_escape(s) + b")"
+
+
+# --- composite (Type0/CID) font dialect ----------------------------------
+def _cid_assignment(page_lines: list[list[str]]) -> dict[str, int]:
+    """Deterministic char -> CID map: distinct chars sorted by code point,
+    CIDs from 1 (0 is notdef).  Sorted order means consecutive-codepoint
+    chars get consecutive CIDs, so the ToUnicode CMap genuinely exercises
+    bfrange sections, not just singleton bfchar entries."""
+    chars = sorted({c for lines in page_lines for line in lines for c in line})
+    return {c: i + 1 for i, c in enumerate(chars)}
+
+
+def _tounicode_cmap(assign: dict[str, int]) -> bytes:
+    """Emit the ToUnicode CMap: runs of >=3 consecutive (cid, codepoint)
+    pairs as bfrange lines, the rest as bfchar lines."""
+    by_cid = sorted((cid, ch) for ch, cid in assign.items())
+    runs: list[list[tuple[int, str]]] = []
+    for cid, ch in by_cid:
+        if runs and cid == runs[-1][-1][0] + 1 and ord(ch) == ord(runs[-1][-1][1]) + 1:
+            runs[-1].append((cid, ch))
+        else:
+            runs.append([(cid, ch)])
+    bfchars = [p for r in runs if len(r) < 3 for p in r]
+    bfranges = [r for r in runs if len(r) >= 3]
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 "
+        b">> def\n/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    if bfchars:
+        parts.append(b"%d beginbfchar\n" % len(bfchars))
+        for cid, ch in bfchars:
+            parts.append(b"<%04x> <%04x>\n" % (cid, ord(ch)))
+        parts.append(b"endbfchar\n")
+    if bfranges:
+        parts.append(b"%d beginbfrange\n" % len(bfranges))
+        for r in bfranges:
+            parts.append(b"<%04x> <%04x> <%04x>\n"
+                         % (r[0][0], r[-1][0], ord(r[0][1])))
+        parts.append(b"endbfrange\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend\n")
+    return b"".join(parts)
+
+
+def _content_stream(rng: random.Random, lines: list[str],
+                    encode_string=_simple_string) -> bytes:
     """Emit text operators for ``lines`` (top-to-bottom reading order) in a
-    SHUFFLED order, with a mix of Td / Tm / TD+T* / TJ forms."""
+    SHUFFLED order, with a mix of Td / Tm / TD+T* / TJ forms.
+    ``encode_string`` serializes one shown string (literal for simple fonts,
+    hex CID string for the composite-font dialect); the rng draw sequence is
+    identical either way, so document TEXT is font-dialect-invariant."""
     chunks: list[bytes] = []
     y = 720.0
     size = 12.0
@@ -72,7 +124,7 @@ def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
         style = rng.randrange(4)
         if style == 0:
             ops.append(b"%.2f %.2f Td" % (x, y))
-            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+            ops.append(encode_string(line) + b" Tj")
         elif style == 1:
             ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
             # split the line into 2-3 runs emitted in random x order;
@@ -89,17 +141,17 @@ def _content_stream(rng: random.Random, lines: list[str]) -> bytes:
             rng.shuffle(idx)
             for i in idx:
                 ops.append(b"1 0 0 1 %.2f %.2f Tm" % (x + offsets[i], y))
-                ops.append(b"(" + _pdf_escape(runs[i]) + b") Tj")
+                ops.append(encode_string(runs[i]) + b" Tj")
         elif style == 2:
             ops.append(b"%.1f TL" % 16.0)
             ops.append(b"%.2f %.2f Td" % (x, y + 16.0))
             ops.append(b"T*")
-            ops.append(b"(" + _pdf_escape(line) + b") Tj")
+            ops.append(encode_string(line) + b" Tj")
         else:
             ops.append(b"%.2f %.2f Td" % (x, y))
             words = line.split(" ")
             arr = b" ".join(
-                b"(" + _pdf_escape(w + (" " if i < len(words) - 1 else "")) + b") -10"
+                encode_string(w + (" " if i < len(words) - 1 else "")) + b" -10"
                 for i, w in enumerate(words)
             )
             ops.append(b"[" + arr + b"] TJ")
@@ -185,6 +237,7 @@ def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes
 
 def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              with_images: bool = True, dialect: str = "classic",
+             font: str = "simple",
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -195,6 +248,13 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     (Flate / ASCIIHex / ASCII85 / RunLength / ASCII85+Flate chain).  The
     encoding choices draw from a SEPARATE seeded rng so the document text is
     byte-identical across dialects — only the serialization layer differs.
+
+    ``font='simple'``: one Type1 /Helvetica font, literal Latin-1 strings.
+    ``font='cid'``: a Type0 composite font (/Encoding /Identity-H,
+    CIDFontType2 descendant) with a /ToUnicode CMap (bfchar + bfrange
+    sections); every shown string is a hex string of 2-byte CIDs.  CID
+    assignment is a pure function of the document text (no rng draws), so
+    TEXT is font-dialect-invariant too.
     """
     if n_pages is None:
         n_pages = rng.randint(1, 4)
@@ -209,11 +269,39 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     next_id = 3
     font_id = next_id
     next_id += 1
-    objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if font == "cid":
+        assign = _cid_assignment(page_lines)
+        cmap = _tounicode_cmap(assign)
+        cmap_z = zlib.compress(cmap, 6)
+        desc_id = next_id
+        next_id += 1
+        cmap_id = next_id
+        next_id += 1
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_id, cmap_id)
+        )
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        objs[cmap_id] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
+            + cmap_z + b"\nendstream"
+        )
+        stream_ids.add(cmap_id)
+
+        def encode_string(s: str) -> bytes:
+            return b"<" + "".join("%04x" % assign[c] for c in s).encode() + b">"
+    else:
+        objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        encode_string = _simple_string
 
     kid_ids: list[int] = []
     for lines in page_lines:
-        content = _content_stream(rng, lines)
+        content = _content_stream(rng, lines, encode_string)
         if enc_rng is None:
             fdict, data = b"/Filter /FlateDecode", zlib.compress(content, 6)
         else:
@@ -469,10 +557,14 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
     elif r < 0.90:
         kind = "pdf"
         # Half the PDFs use the PDF 1.5 dialect (xref/object streams, mixed
-        # filters).  Parity keys the choice so adding the dialect perturbed
-        # no rng draw: document TEXT is unchanged vs the classic-only corpus.
+        # filters) and, orthogonally, half use the composite-font dialect
+        # (Type0/Identity-H + ToUnicode CMap, hex CID strings) — all four
+        # serialization combos appear.  Both choices key off doc_id (not rng
+        # draws), so document TEXT is unchanged vs the classic-only corpus.
         payload, page_lines = make_pdf(
-            rng, doc_id, dialect="modern" if doc_id % 2 else "classic"
+            rng, doc_id,
+            dialect="modern" if doc_id % 2 else "classic",
+            font="cid" if doc_id % 4 >= 2 else "simple",
         )
         n_pages = len(page_lines)
     else:

@@ -44,8 +44,21 @@ def dialect_total_pages(n_docs: int = 100) -> int:
     return total
 
 
+def cmap_total_pages(n_docs: int = 100) -> int:
+    """Planned page total of the q_pdf_cmap fixture set (same page plan for
+    both font dialects — the rng draw sequence is font-invariant)."""
+    total = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"cmap-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font="simple",
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 if __name__ == "__main__":
     print("q_pipeline_kinds (kind, 'ok', n_docs, total_pages):")
     for kind, (n, p) in kind_expectations().items():
         print(f"  ('{kind}', 'ok', CAST({n} AS BIGINT), CAST({p} AS BIGINT))")
     print(f"q_pdf_dialects total_pages: {dialect_total_pages()}")
+    print(f"q_pdf_cmap total_pages: {cmap_total_pages()}")

@@ -260,3 +260,74 @@ def test_incremental_update_free_entry_shadows_prev_section():
     # text content is untouched by the update
     assert [p["text"] for p in parse_pdf(updated)["pages"]] == \
            [p["text"] for p in parse_pdf(base)["pages"]]
+
+
+# --------------------------------------------------------------------------
+# Composite (Type0/CID) fonts — round-3 item 1
+# --------------------------------------------------------------------------
+def test_cid_font_equals_simple_font():
+    """The same document serialized with a Type0/Identity-H font + ToUnicode
+    CMap must parse to byte-identical text, both xref dialects."""
+    for doc_id in (0, 1, 2, 3, 17):
+        for dialect in ("classic", "modern"):
+            rs = random.Random(f"k-cid:{doc_id}")
+            simple, lines = make_pdf(rs, doc_id, dialect=dialect, font="simple")
+            rc = random.Random(f"k-cid:{doc_id}")
+            cid, lines2 = make_pdf(rc, doc_id, dialect=dialect, font="cid")
+            assert lines == lines2
+            ps, pc = parse_pdf(simple), parse_pdf(cid)
+            assert [p["text"] for p in ps["pages"]] == [p["text"] for p in pc["pages"]]
+            assert [p["text"] for p in pc["pages"]] == ["\n".join(ls) for ls in lines]
+
+
+def test_cid_cmap_exercises_bfchar_and_bfrange():
+    from pdf_extractor_spark.sources.synth import _cid_assignment, _tounicode_cmap
+
+    a = _cid_assignment([["abcdefgh zq", "Mortar"]])
+    cm = _tounicode_cmap(a)
+    assert b"beginbfchar" in cm and b"beginbfrange" in cm
+    from pdf_extractor_spark.kernels.pdf import _parse_tounicode
+
+    cmap, width = _parse_tounicode(cm)
+    assert width == 2
+    inv = {cid: ch for ch, cid in a.items()}
+    assert cmap == inv
+
+
+def test_bfrange_array_destination():
+    from pdf_extractor_spark.kernels.pdf import _parse_tounicode
+
+    cm = (b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+          b"1 beginbfrange\n<0001> <0003> [<0041> <0058> <005A>]\nendbfrange\n")
+    cmap, width = _parse_tounicode(cm)
+    assert cmap == {1: "A", 2: "X", 3: "Z"}
+
+
+def test_type0_without_tounicode_error_routes():
+    """A Type0 font with no /ToUnicode has no extractable text mapping —
+    must raise PdfError (-> status='error' side channel), never crash."""
+    rng = random.Random("k-cid-notu")
+    data, _ = make_pdf(rng, 5, dialect="classic", font="cid")
+    # blank the /ToUnicode entry with equal-length padding so the classic
+    # xref offsets stay valid — only the font dict changes
+    import re as _re
+
+    broken = _re.sub(rb"/ToUnicode \d+ 0 R ",
+                     lambda m: b" " * len(m.group()), data, count=1)
+    assert broken != data
+    with pytest.raises(PdfError):
+        parse_pdf(broken)
+
+    from pdf_extractor_spark.kernels.dispatch import extract_document
+
+    r = extract_document(broken)
+    assert r["status"] == "error" and "ToUnicode" in r["error"]
+
+
+def test_unmapped_cid_decodes_to_replacement_char():
+    from pdf_extractor_spark.kernels.pdf import _CidDecoder
+
+    dec = _CidDecoder({1: "h", 2: "i"}, 2)
+    assert dec(b"\x00\x01\x00\x02\x00\x63") == "hi�"
+    # odd trailing byte is ignored (incomplete code)
+    assert dec(b"\x00\x01\x00") == "h"

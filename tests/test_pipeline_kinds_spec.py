@@ -41,3 +41,14 @@ def test_pdf_dialects_constant_matches_generator_spec():
     )
 
     assert _DIALECT_TOTAL_PAGES == dialect_total_pages(_N_DIALECT_DOCS)
+
+
+def test_pdf_cmap_constant_matches_generator_spec():
+    from scripts.derive_kind_expectations import cmap_total_pages
+
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _CMAP_TOTAL_PAGES,
+        _N_CMAP_DOCS,
+    )
+
+    assert _CMAP_TOTAL_PAGES == cmap_total_pages(_N_CMAP_DOCS)
