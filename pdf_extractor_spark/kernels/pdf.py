@@ -16,11 +16,14 @@ field widths, /Index subsections, and PNG predictors), object streams
 ASCIIHexDecode, ASCII85Decode, RunLengthDecode (chainable, with
 /DecodeParms predictor support), Latin-1-ish simple fonts AND
 Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
-bfrange / array-destination bfrange, 1- or 2-byte codespaces).
-Remaining out-of-dialect constructs (e.g. a Type0 font without
-/ToUnicode) raise ``PdfError`` so the pipeline can route the row to the
-error side-channel instead of crashing the task (SURVEY.md OP-32
-mapping).
+bfrange / array-destination bfrange, 1- or 2-byte codespaces), and
+standard-security-handler encryption with an empty user password
+(RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2 — kernels/crypto.py
+holds the from-scratch RC4/AES primitives).  Remaining out-of-dialect
+constructs (a Type0 font without /ToUnicode, non-Standard security
+handlers, V5/AES-256, real passwords) raise ``PdfError`` so the
+pipeline can route the row to the error side-channel instead of
+crashing the task (SURVEY.md OP-32 mapping).
 
 Deterministic: pure function of the input bytes.
 """
@@ -52,11 +55,14 @@ class Ref(tuple):
 
 
 class Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes) -> None:
+    def __init__(self, d: dict, raw: bytes,
+                 num: int | None = None, gen: int = 0) -> None:
         self.dict = d
         self.raw = raw
+        self.num = num  # owning object number (None = not file-backed)
+        self.gen = gen
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -380,7 +386,10 @@ class Document:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_loaded: set[int] = set()
+        self._crypt = None  # (method, file_key) once /Encrypt is validated
         self._parse_xref_chain()
+        if self.trailer.get(Name("Encrypt")) is not None:
+            self._setup_decryption()
 
     def _xref_seen(self, num: int) -> bool:
         return (
@@ -490,11 +499,121 @@ class Document:
                     self.xref_free.add(num)
         if not self.trailer:
             self.trailer = {
-                k: d[k] for k in (Name("Root"), Name("Info"), Name("Size"))
+                k: d[k]
+                for k in (Name("Root"), Name("Info"), Name("Size"),
+                          Name("Encrypt"), Name("ID"))
                 if k in d
             }
         prev = d.get(Name("Prev"))
         return int(prev) if prev is not None else None
+
+    # -- standard security handler (PDF 32000-1 §7.6.3) -------------------
+    _PAD = bytes([
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ])  # public spec constant (Algorithm 2 step a)
+
+    def _setup_decryption(self) -> None:
+        """Validate the /Encrypt dict (standard handler, empty user
+        password) and derive the file key.  RC4-40 (V1/R2), RC4-128
+        (V2/R3) and AES-128 (V4/R4 /AESV2) are in dialect; anything else —
+        other handlers, V5/AES-256, a non-empty user password — raises
+        PdfError and error-routes (the reference opens these via MuPDF
+        prompts; a batch pipeline cannot)."""
+        import hashlib
+
+        enc = self.resolve(self.trailer.get(Name("Encrypt")))
+        if not isinstance(enc, dict):
+            raise PdfError("bad /Encrypt dictionary")
+        if self.resolve(enc.get(Name("Filter"))) != "Standard":
+            raise PdfError(
+                f"unsupported security handler {enc.get(Name('Filter'))!r}")
+        v = int(self.resolve(enc.get(Name("V"))) or 0)
+        r = int(self.resolve(enc.get(Name("R"))) or 0)
+        length = int(self.resolve(enc.get(Name("Length"))) or 40)
+        o = self.resolve(enc.get(Name("O")))
+        u = self.resolve(enc.get(Name("U")))
+        p = int(self.resolve(enc.get(Name("P"))) or 0)
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise PdfError(f"unsupported encryption V={v} R={r}")
+        method = "rc4"
+        if v == 4:
+            cf = self.resolve(enc.get(Name("CF"))) or {}
+            stdcf = self.resolve(cf.get(Name("StdCF"))) or {}
+            cfm = self.resolve(stdcf.get(Name("CFM")))
+            if cfm == "AESV2":
+                method = "aesv2"
+            elif cfm != "V2":
+                raise PdfError(f"unsupported crypt filter method {cfm!r}")
+        if not isinstance(o, bytes) or len(o) < 32 or not isinstance(u, bytes):
+            raise PdfError("malformed /O or /U entry")
+        ids = self.resolve(self.trailer.get(Name("ID"))) or []
+        id0 = ids[0] if ids and isinstance(ids[0], bytes) else b""
+        n = 5 if r == 2 else length // 8
+        # Algorithm 2 with an EMPTY user password
+        m = hashlib.md5()
+        m.update(self._PAD)
+        m.update(o[:32])
+        m.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+        m.update(id0)
+        h = m.digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        key = h[:n]
+        # Verify /U (Algorithm 6/7): wrong result means a real password is
+        # required — undecryptable in a batch pipeline, error-route.
+        from .crypto import rc4
+
+        if r == 2:
+            ok = rc4(key, self._PAD) == u[:32]
+        else:
+            x = hashlib.md5(self._PAD + id0).digest()
+            x = rc4(key, x)
+            for i in range(1, 20):
+                x = rc4(bytes(b ^ i for b in key), x)
+            ok = x == u[:16]
+        if not ok:
+            raise PdfError("encrypted with a non-empty user password")
+        self._crypt = (method, key)
+
+    def _obj_crypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Algorithm 1: per-object key + RC4 or AES-CBC decrypt."""
+        import hashlib
+
+        from .crypto import CryptoError, aes128_cbc_decrypt, rc4
+
+        method, key = self._crypt
+        m = hashlib.md5()
+        m.update(key)
+        m.update(num.to_bytes(3, "little"))
+        m.update(gen.to_bytes(2, "little"))
+        if method == "aesv2":
+            m.update(b"sAlT")
+        okey = m.digest()[:min(len(key) + 5, 16)]
+        if method == "aesv2":
+            try:
+                return aes128_cbc_decrypt(okey, data)
+            except CryptoError as e:
+                raise PdfError(f"AES decrypt: {e}") from e
+        return rc4(okey, data)
+
+    def _decrypt_strings(self, obj, num: int, gen: int):
+        """Recursively decrypt string values of a directly-stored object
+        (strings inside object streams are covered by the ObjStm stream
+        decryption and must not be decrypted twice)."""
+        if isinstance(obj, bytes):
+            return self._obj_crypt(num, gen, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen) for v in obj]
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, num, gen)
+                    for k, v in obj.items()}
+        if isinstance(obj, Stream):
+            obj.dict = self._decrypt_strings(obj.dict, num, gen)
+        return obj
 
     # -- object access ----------------------------------------------------
     def resolve(self, obj):
@@ -545,6 +664,7 @@ class Document:
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[off:off + 40])
         if not m:
             raise PdfError(f"bad object header for {num} at {off}")
+        gen = int(m.group(2))
         lx.pos = off + m.end()
         obj = lx.parse_object()
         if isinstance(obj, tuple) and obj and obj[0] == "__stream__":
@@ -553,14 +673,30 @@ class Document:
             if not isinstance(length, int):
                 raise PdfError("stream without integer /Length")
             raw = self.data[data_start:data_start + length]
-            obj = Stream(d, raw)
+            obj = Stream(d, raw, num, gen)
+        if self._crypt is not None:
+            obj = self._decrypt_strings(obj, num, gen)
         self._cache[num] = obj
         return obj
 
+    def raw_data(self, st: Stream) -> bytes:
+        """Stream bytes with decryption applied but filters NOT decoded —
+        what an image sink stores for /DCTDecode payloads."""
+        if (
+            self._crypt is not None
+            and st.num is not None
+            and self.resolve(st.dict.get(Name("Type"))) != "XRef"
+        ):
+            # decryption precedes every decode filter; the xref stream is
+            # never encrypted (it bootstraps object access)
+            return self._obj_crypt(st.num, st.gen, st.raw)
+        return st.raw
+
     def stream_data(self, st: Stream) -> bytes:
+        raw = self.raw_data(st)
         filt = self.resolve(st.dict.get(Name("Filter")))
         if filt is None:
-            return st.raw
+            return raw
         filters = filt if isinstance(filt, list) else [filt]
         parms = self.resolve(
             st.dict.get(Name("DecodeParms")) or st.dict.get(Name("DP"))
@@ -571,7 +707,7 @@ class Document:
             parms_list = parms + [None] * (len(filters) - len(parms))
         else:
             parms_list = [parms] + [None] * (len(filters) - 1)
-        data = st.raw
+        data = raw
         for f, p in zip(filters, parms_list):
             f = self.resolve(f)
             p = self.resolve(p)
@@ -933,7 +1069,7 @@ def _page_images(doc: Document, page: dict) -> list[dict]:
             "width": int(doc.resolve(xo.dict.get(Name("Width"))) or 0),
             "height": int(doc.resolve(xo.dict.get(Name("Height"))) or 0),
             "format": _IMG_FMT.get(str(filt) if filt else None, "raw"),
-            "payload": bytes(xo.raw),
+            "payload": doc.raw_data(xo),
         })
     return images
 

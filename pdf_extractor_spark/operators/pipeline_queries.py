@@ -307,3 +307,78 @@ def q_pdf_cmap(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("m").cast("long").alias("n_text_match"),
         F.sum("p").cast("long").alias("total_pages"),
     )
+
+_N_CRYPT_DOCS = 60
+_CRYPT_TOTAL_PAGES = 158  # generator spec: sum of planned page counts
+                          # (scripts/derive_kind_expectations.py)
+
+
+@query(
+    "q_pdf_encrypted",
+    # Structural (non-circular) oracle: the SAME document serialized
+    # plaintext and encrypted with the standard security handler (RC4-40 /
+    # RC4-128 / AES-128 rotating per doc, over both xref dialects and both
+    # font dialects) must decrypt+parse to byte-identical text and
+    # metadata; the page total comes from the generator's page plan.
+    f"""
+    SELECT CAST({_N_CRYPT_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_CRYPT_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_CRYPT_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
+    """Encryption gate (round-3 item 2; the reference opens encrypted PDFs
+    via MuPDF): serialize 60 documents plaintext AND standard-handler
+    encrypted executor-side — variant doc_id%3 in {rc4-40, rc4-128,
+    aes-128}, xref dialect doc_id%2, font dialect doc_id%4 — decrypt+parse
+    with the kernel, and require text/metadata/image-payload equality per
+    document plus the generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    variants = ["rc4-40", "rc4-128", "aes-128"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                dialect = "modern" if doc_id % 2 else "classic"
+                font = "cid" if doc_id % 4 >= 2 else "simple"
+                rp = parse_pdf(make_pdf(
+                    _random.Random(f"crypt-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font=font)[0])
+                re_ = parse_pdf(make_pdf(
+                    _random.Random(f"crypt-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font=font,
+                    encrypt=variants[doc_id % 3])[0])
+                same = (
+                    [p["text"] for p in rp["pages"]]
+                    == [p["text"] for p in re_["pages"]]
+                    and rp["metadata"] == re_["metadata"]
+                    and [
+                        [img["payload"] for img in p["images"]]
+                        for p in rp["pages"]
+                    ] == [
+                        [img["payload"] for img in p["images"]]
+                        for p in re_["pages"]
+                    ]
+                )
+                match.append(1 if same else 0)
+                npages.append(rp["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_CRYPT_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )

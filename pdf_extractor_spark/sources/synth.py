@@ -237,7 +237,7 @@ def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes
 
 def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              with_images: bool = True, dialect: str = "classic",
-             font: str = "simple",
+             font: str = "simple", encrypt: str | None = None,
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -255,6 +255,13 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     sections); every shown string is a hex string of 2-byte CIDs.  CID
     assignment is a pure function of the document text (no rng draws), so
     TEXT is font-dialect-invariant too.
+
+    ``encrypt``: None, 'rc4-40', 'rc4-128' or 'aes-128' — standard security
+    handler with an EMPTY user password (sources/synth_crypt.py writer).
+    Streams are encrypted per object; strings are individually encrypted
+    (hex-serialized) in the classic dialect, while in the modern dialect
+    non-stream objects live inside the (already encrypted) ObjStm and keep
+    plaintext strings, per spec.  No rng draws — TEXT is invariant.
     """
     if n_pages is None:
         n_pages = rng.randint(1, 4)
@@ -264,6 +271,24 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         page_lines.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
 
     enc_rng = random.Random(f"enc:{doc_id}") if dialect == "modern" else None
+    if encrypt:
+        from .synth_crypt import StdEncryptor
+
+        enc = StdEncryptor(encrypt, f"{doc_id}")
+    else:
+        enc = None
+
+    def stream_enc(obj_id: int, data: bytes) -> bytes:
+        return enc.encrypt(obj_id, 0, data) if enc else data
+
+    def strenc(obj_id: int, s: str) -> bytes:
+        # classic: strings of directly-stored objects are encrypted and
+        # hex-serialized; modern: those objects live inside the encrypted
+        # ObjStm, so their strings stay literal
+        if enc and dialect == "classic":
+            return enc.hex_string(obj_id, 0, s.encode("latin-1"))
+        return _simple_string(s)
+
     objs: dict[int, bytes] = {}
     stream_ids: set[int] = set()
     next_id = 3
@@ -272,11 +297,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     if font == "cid":
         assign = _cid_assignment(page_lines)
         cmap = _tounicode_cmap(assign)
-        cmap_z = zlib.compress(cmap, 6)
         desc_id = next_id
         next_id += 1
         cmap_id = next_id
         next_id += 1
+        cmap_z = stream_enc(cmap_id, zlib.compress(cmap, 6))
         objs[font_id] = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
@@ -284,8 +309,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         )
         objs[desc_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
-            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+            b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
+            + b" /Ordering " + strenc(desc_id, "Identity")
+            + b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
         )
         objs[cmap_id] = (
             b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
@@ -308,6 +334,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
             fdict, data = _encode_stream(enc_rng, content)
         cont_id = next_id
         next_id += 1
+        data = stream_enc(cont_id, data)
         objs[cont_id] = (
             b"<< /Length %d %s >>\nstream\n" % (len(data), fdict)
             + data + b"\nendstream"
@@ -343,6 +370,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                     img_filter = b"/FlateDecode"
                 img_id = next_id
                 next_id += 1
+                payload = stream_enc(img_id, payload)
                 objs[img_id] = (
                     b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
                     b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
@@ -364,9 +392,17 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     info_id = next_id
     next_id += 1
     objs[info_id] = (
-        b"<< /Title (Synthetic Doc %d) /Author (corpus-gen) "
-        b"/Producer (pdf_extractor_spark fixtures) >>" % doc_id
+        b"<< /Title " + strenc(info_id, "Synthetic Doc %d" % doc_id)
+        + b" /Author " + strenc(info_id, "corpus-gen")
+        + b" /Producer " + strenc(info_id, "pdf_extractor_spark fixtures")
+        + b" >>"
     )
+    enc_id = None
+    if enc:
+        enc_id = next_id
+        next_id += 1
+        objs[enc_id] = enc.encrypt_dict(enc_id)
+        stream_ids.add(enc_id)  # never packed into an ObjStm (spec)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (
         b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % k for k in kid_ids)
@@ -385,9 +421,10 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         out += b"0000000000 65535 f \n"
         for num in range(1, max_id + 1):
             out += b"%010d 00000 n \n" % offsets.get(num, 0)
+        extra = enc.trailer_extra(enc_id) if enc else b""
         out += (
-            b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_id + 1, info_id, xref_off)
+            b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, info_id, extra, xref_off)
         )
         return bytes(out), page_lines
 
@@ -404,9 +441,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         offs.append(len(body))
         body += objs[n] + b"\n"
     pair_hdr = b" ".join(b"%d %d" % (n, o) for n, o in zip(embedded, offs)) + b" "
-    comp = zlib.compress(bytes(pair_hdr) + bytes(body), 6)
     objstm_id = next_id
     next_id += 1
+    comp = stream_enc(objstm_id, zlib.compress(bytes(pair_hdr) + bytes(body), 6))
     offsets[objstm_id] = len(out)
     out += (
         b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d "
@@ -436,10 +473,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     else:
         xdata = zlib.compress(bytes(rows), 6)
         parms = b""
+    extra = enc.trailer_extra(enc_id) if enc else b""
     out += (
         b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 2] /Root 1 0 R "
-        b"/Info %d 0 R /Filter /FlateDecode%s /Length %d >>\nstream\n"
-        % (xref_id, size, info_id, parms, len(xdata))
+        b"/Info %d 0 R%s /Filter /FlateDecode%s /Length %d >>\nstream\n"
+        % (xref_id, size, info_id, extra, parms, len(xdata))
         + xdata + b"\nendstream\nendobj\n"
     )
     out += b"startxref\n%d\n%%%%EOF\n" % xref_off

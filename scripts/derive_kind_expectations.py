@@ -56,9 +56,23 @@ def cmap_total_pages(n_docs: int = 100) -> int:
     return total
 
 
+def crypt_total_pages(n_docs: int = 60) -> int:
+    """Planned page total of the q_pdf_encrypted fixture set (page plan is
+    encryption-invariant — the encryptor draws nothing from the main rng)."""
+    total = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"crypt-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id,
+                            dialect="modern" if doc_id % 2 else "classic",
+                            font="cid" if doc_id % 4 >= 2 else "simple")
+        total += len(lines)
+    return total
+
+
 if __name__ == "__main__":
     print("q_pipeline_kinds (kind, 'ok', n_docs, total_pages):")
     for kind, (n, p) in kind_expectations().items():
         print(f"  ('{kind}', 'ok', CAST({n} AS BIGINT), CAST({p} AS BIGINT))")
     print(f"q_pdf_dialects total_pages: {dialect_total_pages()}")
     print(f"q_pdf_cmap total_pages: {cmap_total_pages()}")
+    print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
