@@ -1,10 +1,12 @@
 """From-scratch baseline JPEG (ITU-T T.81) DECODER — stdlib + numpy.
 
-Scope: baseline sequential DCT, 8-bit, YCbCr or grayscale, 1x1 sampling
-(4:4:4) — the dialect the fixture encoder (sources/synth_jpeg.py) emits and
-the common output of simple encoders.  Progressive, arithmetic coding,
-subsampled chroma, and restart markers raise ``JpegError`` (the error
-side-channel route, same policy as the PDF kernel).
+Scope: baseline sequential DCT, 8-bit, YCbCr or grayscale, with 4:4:4
+(1x1), 4:2:0 (luma 2x2 + chroma 1x1 — the most common real-world shape)
+and 4:2:2 (luma 2x1) sampling via generic MCU interleaving and
+nearest-neighbor chroma upsampling — the dialects the fixture encoder
+(sources/synth_jpeg.py) emits and the common output of simple encoders.
+Progressive, arithmetic coding, and restart markers raise ``JpegError``
+(the error side-channel route, same policy as the PDF kernel).
 
 All Huffman and quantization tables are read FROM THE FILE's DHT/DQT
 segments (as the spec requires), so this decoder shares no table constants
@@ -157,9 +159,10 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
             ncomp = body[5]
             for c in range(ncomp):
                 cid, samp, tq = body[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    raise JpegError("subsampled chroma out of scope (1x1 only)")
-                comps.append({"id": cid, "tq": tq})
+                h, v = samp >> 4, samp & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise JpegError(f"sampling factors {h}x{v} out of scope")
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"non-baseline SOF 0x{marker:02x} out of scope")
@@ -189,50 +192,70 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
     if len(comps) not in (1, 3):
         raise JpegError(f"{len(comps)} components out of scope")
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    # Generic MCU interleave (T.81 A.2.3): MCU spans 8*Hmax x 8*Vmax pixels;
+    # each component contributes h*v blocks per MCU at its own resolution.
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(data, scan_pos)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"]), dtype=np.float64)
+        for c in comps
+    ]
     pred = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
 
-    for mby in range(bh):
-        for mbx in range(bw):
+    for mby in range(mcus_y):
+        for mbx in range(mcus_x):
             for sc in scan_comps:
                 ci = by_id[sc["id"]]
+                comp = comps[ci]
                 dc_t = dc_tabs.get(sc["dc"])
                 ac_t = ac_tabs.get(sc["ac"])
-                q = qt.get(comps[ci]["tq"])
+                q = qt.get(comp["tq"])
                 if dc_t is None or ac_t is None or q is None:
                     raise JpegError("missing table for scan component")
-                zz = np.zeros(64, dtype=np.int32)
-                s = _huff_decode(br, dc_t)
-                if s > 11:
-                    raise JpegError("bad DC category")
-                diff = _extend(br.bits(s), s) if s else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(br, ac_t)
-                    r, size = rs >> 4, rs & 0xF
-                    if size == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise JpegError("AC index overrun")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.int32)
-                block[_ZIGZAG] = zz
-                coef = block.reshape(8, 8) * q
-                pix = _D.T @ coef @ _D + 128.0
-                planes[ci][mby * 8:mby * 8 + 8, mbx * 8:mbx * 8 + 8] = pix
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(br, dc_t)
+                        if s > 11:
+                            raise JpegError("bad DC category")
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_t)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC index overrun")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int32)
+                        block[_ZIGZAG] = zz
+                        coef = block.reshape(8, 8) * q
+                        pix = _D.T @ coef @ _D + 128.0
+                        y0 = (mby * comp["v"] + by) * 8
+                        x0 = (mbx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
 
-    planes = [p[:height, :width] for p in planes]
+    # upsample subsampled components to full resolution (sample replication
+    # — the T.81 default reconstruction), then crop to the declared size
+    up = []
+    for c, p in zip(comps, planes):
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        up.append(p[:height, :width])
+    planes = up
     if len(comps) == 1:
         out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return width, height, 1, out.tobytes()

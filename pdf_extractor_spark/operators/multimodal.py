@@ -13,9 +13,10 @@ Two codec tiers:
   against a SQL-stated pixel formula.
 * STUB (kept): payloads that are arbitrary bytes (the documents.text
   stand-ins) use the deterministic metadata stub so the plumbing queries
-  stay value-verified on any input.  Baseline JPEG decodes for real via
-  kernels/jpeg.py; only non-baseline JPEG dialects (progressive,
-  subsampled, arithmetic) remain out of scope and error-route.
+  stay value-verified on any input.  Baseline JPEG — 4:4:4 AND 4:2:0 /
+  4:2:2 subsampled — decodes for real via kernels/jpeg.py; only
+  progressive and arithmetic-coded JPEG remain out of scope and
+  error-route (q_jpeg_420 gates the subsampled path).
 """
 
 from __future__ import annotations
@@ -262,4 +263,70 @@ def q_mm_thumbnail(spark: SparkSession, sf: str) -> DataFrame:
 
     return _payloads(spark, sf).mapInPandas(
         thumb, schema="doc_id long, thumb_w long, thumb_h long, payload_hash long"
+    )
+
+
+@query(
+    "q_jpeg_420",
+    # SQL-derived (non-circular) oracle: per-doc image sizes are a pure
+    # function of doc_id stated in SQL; every 4:2:0 encode->decode must
+    # reconstruct its smooth ramp within the quantization tolerance, so
+    # n_ok == n_docs by construction of a correct codec pair.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_ok,
+           CAST(sum(16 + i % 40) AS BIGINT) AS sum_w,
+           CAST(sum(12 + (i * 7) % 36) AS BIGINT) AS sum_h
+    FROM range(0, 100) t(i)
+    """,
+)
+def q_jpeg_420(spark: SparkSession, sf: str) -> DataFrame:
+    """4:2:0 chroma-subsampling gate (round-3 item 3; the reference decodes
+    subsampled JPEG via Pillow, image_extractor.py:131-140): encode 100
+    deterministic smooth-ramp images (sizes a pure doc_id function, odd
+    sizes included) as baseline 4:2:0 JPEG executor-side, decode with the
+    generic-MCU kernel path, and require max per-pixel error <= 8 (the flat
+    quantization step) plus exact dimensions."""
+    import numpy as np
+
+    from ..kernels.jpeg import decode_jpeg_baseline
+    from ..sources.synth_jpeg import encode_jpeg_baseline
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, ws, hs = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                w = 16 + doc_id % 40
+                h = 12 + (doc_id * 7) % 36
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                # gentle ramps (slope <= 2/px): 2x2 chroma pooling error
+                # stays within the flat-quant tolerance; steep ramps would
+                # alias the subsampled chroma by design, not by bug
+                img = np.stack([
+                    2 * x + y, x + 2 * y, 30 + x + y,
+                ], axis=-1).astype(np.uint8)
+                data = encode_jpeg_baseline(
+                    w, h, img.tobytes(), 3, subsampling="420")
+                w2, h2, ch, px = decode_jpeg_baseline(data)
+                dec = np.frombuffer(px, dtype=np.uint8).reshape(h2, w2, 3)
+                good = (
+                    (w2, h2, ch) == (w, h, 3)
+                    and int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 8
+                )
+                ok.append(1 if good else 0)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"ok": ok, "w": ws, "h": hs})
+
+    per_doc = (
+        spark.range(0, 100, numPartitions=8)
+        .mapInPandas(run, schema="ok int, w int, h int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("h").cast("long").alias("sum_h"),
     )

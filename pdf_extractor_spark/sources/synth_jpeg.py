@@ -97,13 +97,47 @@ def _dht_segment(tc_th: int, bits_len: int, syms: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
+def _pad_replicate(p: np.ndarray, ph: int, pw: int,
+                   height: int, width: int) -> np.ndarray:
+    pp = np.empty((ph, pw), dtype=np.float64)
+    pp[:height, :width] = p
+    pp[height:, :width] = p[-1:, :]  # replicate edges
+    pp[:, width:] = pp[:, width - 1:width]
+    return pp
+
+
+def _zz_blocks(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Vectorized DCT + quantize + zigzag for ALL blocks of one plane (the
+    per-block matrix products dominated corpus staging); the entropy
+    bit-writer stays per-block/per-nonzero."""
+    blocks = (
+        p.reshape(bh, 8, bw, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = np.einsum("ij,njk,lk->nil", _M, blocks, _M)
+    zq = np.round(coef / QUANT_STEP).astype(np.int64).reshape(-1, 64)
+    return zq[:, np.array(_ZZ)]
+
+
 def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
-                         channels: int = 3) -> bytes:
-    """8-bit pixels (packed, row-major) -> baseline JPEG bytes."""
+                         channels: int = 3,
+                         subsampling: str = "444") -> bytes:
+    """8-bit pixels (packed, row-major) -> baseline JPEG bytes.
+
+    ``subsampling='444'``: all components 1x1 (one block per MCU each).
+    ``subsampling='420'`` (3-channel only): luma 2x2, chroma 1x1 with 2x2
+    box-mean downsampling — the generic-MCU dialect the decoder's
+    interleaved path must reassemble."""
     if channels not in (1, 3):
         raise ValueError("1 or 3 channels only")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    if subsampling == "420" and channels != 3:
+        raise ValueError("420 needs 3 channels")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     arr = arr.astype(np.float64)
     if channels == 3:
@@ -116,15 +150,27 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     else:
         planes = [arr[..., 0]]
 
-    bw_blocks = (width + 7) // 8
-    bh_blocks = (height + 7) // 8
-    padded = []
-    for p in planes:
-        pp = np.empty((bh_blocks * 8, bw_blocks * 8), dtype=np.float64)
-        pp[:height, :width] = p
-        pp[height:, :width] = p[-1:, :]  # replicate edges
-        pp[:, width:] = pp[:, width - 1:width]
-        padded.append(pp)
+    # per-component sampling factors + block grids
+    if subsampling == "420":
+        sampf = [(2, 2), (1, 1), (1, 1)]
+        mcus_x = (width + 15) // 16
+        mcus_y = (height + 15) // 16
+        comp_planes = []
+        for ci, p in enumerate(planes):
+            h, v = sampf[ci]
+            full = _pad_replicate(p, mcus_y * 16, mcus_x * 16, height, width)
+            if (h, v) == (1, 1):
+                # 2x2 box-mean chroma downsample of the padded plane
+                full = full.reshape(mcus_y * 8, 2, mcus_x * 8, 2).mean(axis=(1, 3))
+            comp_planes.append(full)
+    else:
+        sampf = [(1, 1)] * len(planes)
+        mcus_x = (width + 7) // 8
+        mcus_y = (height + 7) // 8
+        comp_planes = [
+            _pad_replicate(p, mcus_y * 8, mcus_x * 8, height, width)
+            for p in planes
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     # JFIF APP0
@@ -137,7 +183,8 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])
+        h, v = sampf[cid - 1]
+        sof += bytes([cid, (h << 4) | v, 0])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
     # DHT: DC table 0, AC table 0 (shared by all components)
     out += _dht_segment(0x00, 4, _DC_SYMS)
@@ -149,49 +196,44 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
-    # Vectorized DCT + quantize + zigzag for ALL blocks per component (the
-    # per-block matrix products dominated corpus staging); the entropy
-    # bit-writer below stays per-block/per-nonzero.
-    zz_np = np.array(_ZZ)
+    grids = []
     zz_all: list[np.ndarray] = []
-    for p in padded:
-        blocks = (
-            p.reshape(bh_blocks, 8, bw_blocks, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8)
-            - 128.0
-        )
-        coef = np.einsum("ij,njk,lk->nil", _M, blocks, _M)
-        zq = np.round(coef / QUANT_STEP).astype(np.int64).reshape(-1, 64)
-        zz_all.append(zq[:, zz_np])
+    for (h, v), p in zip(sampf, comp_planes):
+        bh, bw_ = mcus_y * v, mcus_x * h
+        grids.append((bh, bw_))
+        zz_all.append(_zz_blocks(p, bh, bw_))
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    for mby in range(bh_blocks):
-        for mbx in range(bw_blocks):
-            bi = mby * bw_blocks + mbx
+    for mby in range(mcus_y):
+        for mbx in range(mcus_x):
             for ci in range(ncomp):
-                zz = zz_all[ci][bi]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s = _category(diff)
-                _put_coeff(bw, _DC_CODES, s, diff, s)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last_nz = int(nz[-1]) + 1 if len(nz) else 0
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        _put_coeff(bw, _AC_CODES, 0xF0, 0, 0)
-                        run -= 16
-                    s = _category(v)
-                    _put_coeff(bw, _AC_CODES, 16 * run + s, v, s)
-                    run = 0
-                if last_nz < 63:
-                    _put_coeff(bw, _AC_CODES, 0x00, 0, 0)  # EOB
+                h, v = sampf[ci]
+                _, bw_blocks = grids[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        bi = (mby * v + by) * bw_blocks + (mbx * h + bx)
+                        zz = zz_all[ci][bi]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = _category(diff)
+                        _put_coeff(bw, _DC_CODES, s, diff, s)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+                        for i in range(1, last_nz + 1):
+                            val = int(zz[i])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                _put_coeff(bw, _AC_CODES, 0xF0, 0, 0)
+                                run -= 16
+                            s = _category(val)
+                            _put_coeff(bw, _AC_CODES, 16 * run + s, val, s)
+                            run = 0
+                        if last_nz < 63:
+                            _put_coeff(bw, _AC_CODES, 0x00, 0, 0)  # EOB
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

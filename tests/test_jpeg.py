@@ -74,3 +74,66 @@ def test_pdf_dct_images_decode_end_to_end():
                 assert dec["channels"] == 3
                 n_jpeg += 1
     assert n_jpeg >= 3  # ~25% of embedded images are JPEG
+
+
+# --------------------------------------------------------------------------
+# 4:2:0 chroma subsampling (round-3 item 3)
+# --------------------------------------------------------------------------
+def test_420_roundtrip_within_tolerance():
+    import numpy as np
+
+    for (w, h) in [(16, 16), (17, 19), (8, 8), (33, 2), (2, 33), (48, 31)]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        img = np.stack([2 * x + y, x + 2 * y, 30 + x + y], axis=-1).astype(
+            np.uint8)
+        data = encode_jpeg_baseline(w, h, img.tobytes(), 3, subsampling="420")
+        w2, h2, ch, px = decode_jpeg_baseline(data)
+        assert (w2, h2, ch) == (w, h, 3)
+        dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(dec - img.astype(int)).max() <= 8
+
+
+def test_420_sof_declares_2x2_luma():
+    import numpy as np
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg_baseline(16, 16, img.tobytes(), 3, subsampling="420")
+    i = data.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) ncomp(1) then per-comp (id, samp, tq)
+    assert data[i + 4 + 7] == 0x22  # luma 2x2
+    assert data[i + 4 + 10] == 0x11 and data[i + 4 + 13] == 0x11  # chroma 1x1
+
+
+def test_420_smaller_than_444():
+    """Chroma subsampling must actually shrink the payload on chroma-heavy
+    content (that's the point of the dialect)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    d444 = encode_jpeg_baseline(64, 64, img.tobytes(), 3, subsampling="444")
+    d420 = encode_jpeg_baseline(64, 64, img.tobytes(), 3, subsampling="420")
+    assert len(d420) < len(d444)
+
+
+def test_unsupported_sampling_factors_error_route():
+    import numpy as np
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = bytearray(
+        encode_jpeg_baseline(16, 16, img.tobytes(), 3, subsampling="420"))
+    i = data.find(b"\xff\xc0")
+    data[i + 4 + 7] = 0x41  # 4:1:1 luma — out of scope
+    with pytest.raises(JpegError, match="sampling"):
+        decode_jpeg_baseline(bytes(data))
+
+
+def test_encoder_rejects_bad_subsampling_args():
+    import numpy as np
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, img.tobytes(), 1, subsampling="420")
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(8, 8, img.tobytes(), 1, subsampling="422")
