@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 from ..kernels.dispatch import extract_document
 from .registry import query
 
-__all__ = ["ocr_word_boxes", "ocr_lines", "q_ocr_lines"]
+__all__ = [
+    "ocr_word_boxes", "ocr_word_boxes_from_extraction", "ocr_lines",
+    "q_ocr_lines",
+]
 
 WORDS_PER_LINE = 6
 X_ORIGIN, X_STEP = 72.0, 90.0
@@ -104,6 +107,55 @@ def ocr_word_boxes(pages: DataFrame, payload_col: str = "html",
     return pages.select("doc_id", payload_col).mapInPandas(run, schema=_BOX_SCHEMA)
 
 
+def ocr_word_boxes_from_extraction(ext: DataFrame, dpi: int = 72) -> DataFrame:
+    """SHARED-PASS box derivation (round-3 item 7): read the word stream out
+    of an ALREADY-EXTRACTED frame (``with_extraction`` output, or the
+    persisted pages table at scale) instead of re-running the kernel over
+    the payloads — boxes become a pure JVM-side projection (flatten +
+    posexplode + md5), so the OCR chain costs ZERO extra kernel passes.
+
+    Matches ``ocr_word_boxes`` value-for-value: same content-word gate
+    (is_content ∧ tag='p' ∧ non-empty), same layout math, same synthetic
+    confidence (md5 first nibble — hashlib.md5 == Spark md5 == DuckDB md5);
+    equality is pinned by tests/test_ocr.py.  Box emission order differs
+    (the kernel path scrambles deterministically) — immaterial, since the
+    contract of the chain is that ocr_lines' (y, x) sort imposes order."""
+    zoom = dpi / 72.0
+    words = F.flatten(
+        F.transform(
+            F.col("ext.pages"),
+            lambda p: F.flatten(
+                F.transform(
+                    F.filter(
+                        p["blocks"],
+                        lambda b: b["is_content"]
+                        & (b["tag"] == "p")
+                        & (b["text"] != ""),
+                    ),
+                    lambda b: F.split(b["text"], " "),
+                )
+            ),
+        )
+    )
+    exploded = ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(words).alias("idx", "w"),
+    )
+    nibble = F.conv(
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 1), 16, 10
+    ).cast("long")
+    return exploded.select(
+        "doc_id",
+        "w",
+        (F.lit(X_ORIGIN * zoom)
+         + F.lit(X_STEP * zoom) * (F.col("idx") % WORDS_PER_LINE)).alias("x0"),
+        (F.lit(Y_ORIGIN * zoom)
+         - F.lit(Y_STEP * zoom) * F.floor(F.col("idx") / WORDS_PER_LINE)
+         ).alias("y0"),
+        (F.lit(50) + F.lit(3) * nibble).alias("conf"),
+    )
+
+
 def ocr_lines(boxes: DataFrame, min_conf: int = MIN_CONF,
               dpi: int = 72) -> DataFrame:
     """Word boxes -> recognized lines: conf filter, group by line y, sort by
@@ -168,8 +220,15 @@ def q_ocr_lines(spark: SparkSession, sf: str) -> DataFrame:
     binary -> DOM kernel -> glyph boxes -> conf>=60 -> line group -> x-sort
     chain, and match the SQL-stated expectation per (doc, line).  The DOM
     content gate (MIN_CONTENT_WORDS=8) is part of the contract: short docs
-    produce no lines."""
+    produce no lines.
+
+    ONE kernel pass (round-3 item 7): boxes are projected relationally from
+    the shared extraction frame — the plan is kernel-parse once, then pure
+    JVM flatten/explode/groupBy; at scale the same projection reads the
+    persisted pages table with zero kernel work."""
+    from ..operators.extract import with_extraction
     from .pipeline_queries import pages_from_documents
 
     pages = pages_from_documents(spark, sf)
-    return ocr_lines(ocr_word_boxes(pages))
+    ext = with_extraction(pages).select("doc_id", "ext")
+    return ocr_lines(ocr_word_boxes_from_extraction(ext))

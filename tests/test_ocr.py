@@ -76,3 +76,30 @@ def test_dpi_zoom_is_output_invariant(spark):
     b72 = {(r["w"], r["x0"], r["y0"]) for r in ocr_word_boxes(pages, dpi=72).collect()}
     b144 = {(r["w"], r["x0"] / 2, r["y0"] / 2) for r in ocr_word_boxes(pages, dpi=144).collect()}
     assert b72 == b144
+
+
+def test_shared_pass_boxes_equal_kernel_boxes(spark):
+    """The relational (shared-extraction-pass) box projection must produce
+    exactly the kernel path's boxes — order aside (the kernel scrambles;
+    the chain's (y, x) sort owns ordering)."""
+    from pdf_extractor_spark.operators.extract import with_extraction
+    from pdf_extractor_spark.operators.ocr import (
+        ocr_word_boxes_from_extraction,
+    )
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        pages_from_documents,
+    )
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    kern = ocr_word_boxes(pages).collect()
+    rel = ocr_word_boxes_from_extraction(
+        with_extraction(pages).select("doc_id", "ext")
+    ).collect()
+    key = lambda r: (r["doc_id"], r["y0"], r["x0"], r["w"], r["conf"])
+    assert sorted(map(key, kern)) == sorted(map(key, rel))
+    # dpi zoom scales coordinates identically on both paths
+    kern2 = ocr_word_boxes(pages, dpi=144).collect()
+    rel2 = ocr_word_boxes_from_extraction(
+        with_extraction(pages).select("doc_id", "ext"), dpi=144
+    ).collect()
+    assert sorted(map(key, kern2)) == sorted(map(key, rel2))
