@@ -57,6 +57,13 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 # Shared shingle fragments
 # ---------------------------------------------------------------------------
 
+# Test-scale doc_id windows, shared verbatim between each Spark query and
+# its oracle SQL (single source of truth — VERDICT.md round-2 note: caps as
+# separate literals in two places could silently desynchronize on an sf
+# bump).  tests/test_driver_contract.py asserts the oracle embeds them.
+NGRAM_CAP = 100   # all-pairs Jaccard baseline window (demo-bounded)
+LSH_CAP = 200     # MinHash/LSH family corpus window
+
 _SHINGLES_SQL = """
   shingles AS (
     SELECT DISTINCT doc_id, sh FROM (
@@ -104,7 +111,7 @@ def _shingles(spark: SparkSession, sf: str, cap: int) -> DataFrame:
 @query(
     "q_dedup_ngram",
     "WITH "
-    + _SHINGLES_SQL.format(cap=100)
+    + _SHINGLES_SQL.format(cap=NGRAM_CAP)
     + """,
   sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
   pairs AS (
@@ -128,7 +135,7 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     identical Jaccard math, but scoped to MinHash-LSH candidate buckets so
     no all-pairs join ever runs.  jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a
     per-pair integer ratio — bit-identical across engines."""
-    sh = _shingles(spark, sf, 100)
+    sh = _shingles(spark, sf, NGRAM_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -168,7 +175,7 @@ _BAND_SIZE = 2  # 8 bands of 2
 @query(
     "q_minhash_lsh",
     "WITH "
-    + _SHINGLES_SQL.format(cap=200)
+    + _SHINGLES_SQL.format(cap=LSH_CAP)
     + f""",
   sig AS (
     SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
@@ -197,7 +204,7 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     At scale: the band-bucket join replaces the all-pairs Jaccard; bucket
     sizes are the skew control (band width tunes precision/recall)."""
-    base = _shingle_array(spark, sf, 200)
+    base = _shingle_array(spark, sf, LSH_CAP)
 
     def _sig(seed: int):
         # nb: the lambda MUST take exactly one arg — a second parameter
@@ -302,7 +309,7 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_dedup_verify",
     "WITH "
-    + _SHINGLES_SQL.format(cap=200)
+    + _SHINGLES_SQL.format(cap=LSH_CAP)
     + f""",
   sig AS (
     SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
@@ -351,7 +358,7 @@ def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     per-pair-per-shingle shuffle.  Now only (doc_id -> shingle array) joins
     ship, keyed on the candidate ids."""
     cand = q_minhash_lsh(spark, sf)
-    base = _shingle_array(spark, sf, 200)
+    base = _shingle_array(spark, sf, LSH_CAP)
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     paired = (
@@ -378,7 +385,7 @@ def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_pagerank_iter",
     "WITH "
-    + _SHINGLES_SQL.format(cap=200)
+    + _SHINGLES_SQL.format(cap=LSH_CAP)
     + f""",
   sig AS (
     SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
@@ -432,7 +439,7 @@ def q_pagerank_iter(spark: SparkSession, sf: str) -> DataFrame:
 
 _CLUSTER_ORACLE = (
     "WITH RECURSIVE "
-    + _SHINGLES_SQL.format(cap=200)
+    + _SHINGLES_SQL.format(cap=LSH_CAP)
     + f""",
   sig AS (
     SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh

@@ -43,6 +43,10 @@ from .registry import T, fan_out, query
 
 _PLANES = 8
 _DIM = 64
+# Test-scale vec_id window for the all-pairs cosine baseline, shared
+# verbatim between the Spark query and its oracle SQL (single source of
+# truth; see dedup.NGRAM_CAP for the rationale).
+COSINE_CAP = 150
 
 _DIMS_SQL = """
   dims AS (
@@ -226,13 +230,13 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "q_dedup_cosine",
     "WITH "
     + _DIMS_SQL
-    + """
+    + f"""
     SELECT vec_a, vec_b FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS cos
       FROM dims a
       JOIN dims b ON a.dim = b.dim AND a.vec_id < b.vec_id
-                 AND a.vec_id < 150 AND b.vec_id < 150
+                 AND a.vec_id < {COSINE_CAP} AND b.vec_id < {COSINE_CAP}
       JOIN norms na ON na.vec_id = a.vec_id
       JOIN norms nb ON nb.vec_id = b.vec_id
       GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm)
@@ -243,7 +247,7 @@ def q_dedup_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.35) within a vec_id window —
     the semantic-dedup primitive, one per-row fold per pair.  At scale this
     exact pass runs only inside LSH buckets (q_ann_lsh), never all-pairs."""
-    e = _emb(spark, sf).filter(F.col("vec_id") < 150)
+    e = _emb(spark, sf).filter(F.col("vec_id") < COSINE_CAP)
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -353,6 +357,185 @@ def q_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
             ).alias(f"c{i}")
             for i in range(1, _KM_DIMS + 1)
         ],
+    )
+
+
+def _argmin_cid(cent_row_col: str = "cents"):
+    """Per-row argmin fold against a broadcast 1-row centroid array:
+    round(d², 6) with cid tie-break — order-independent, engine-portable."""
+    def argmin(acc, c):
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c["cemb"],
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        )
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (c["cid"] < acc["cid"]))
+        return F.when(
+            better, F.struct(d2.alias("d2"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(float("inf")).alias("d2"),
+        F.lit(2 ** 62).cast("long").alias("cid"),
+    )
+    return F.aggregate(F.col(cent_row_col), init, argmin)["cid"]
+
+
+def _lloyd_step(e: DataFrame, cent_row: DataFrame) -> DataFrame:
+    """One Lloyd iteration, centroids in -> centroids out, BOTH as 1-row
+    broadcastable frames {cents: array<struct<cid, cemb>>}.  New centroid
+    components are round(avg, 6) so the DuckDB oracle's group-order
+    summation lands on identical values (registry portability rules)."""
+    assigned = e.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", "embedding", _argmin_cid().alias("cid")
+    )
+    new_cents = assigned.groupBy("cid").agg(
+        F.array(*[
+            F.round(F.avg(F.element_at("embedding", i).cast("double")), 6)
+            for i in range(1, _DIM + 1)
+        ]).alias("cemb")
+    )
+    return new_cents.agg(F.collect_list(F.struct("cid", "cemb")).alias("cents"))
+
+
+_IVF_ITERS = 2
+
+_TRAINED_CENTS_SQL = f"""
+  c0 AS (
+    SELECT vec_id AS cid, dim, v AS cv FROM dims WHERE vec_id < 8),
+  a1 AS (
+    SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY round(sum((d.v - c.cv) *
+                                                   (d.v - c.cv)), 6), c.cid)
+               AS rn
+      FROM dims d JOIN c0 c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.cid)
+    WHERE rn = 1),
+  c1 AS (
+    SELECT a.cid, d.dim, round(avg(d.v), 6) AS cv
+    FROM a1 a JOIN dims d ON a.vec_id = d.vec_id
+    GROUP BY a.cid, d.dim),
+  a2 AS (
+    SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY round(sum((d.v - c.cv) *
+                                                   (d.v - c.cv)), 6), c.cid)
+               AS rn
+      FROM dims d JOIN c1 c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.cid)
+    WHERE rn = 1),
+  c2 AS (
+    SELECT a.cid, d.dim, round(avg(d.v), 6) AS cv
+    FROM a2 a JOIN dims d ON a.vec_id = d.vec_id
+    GROUP BY a.cid, d.dim)
+"""
+
+
+@query(
+    "q_ann_ivf_trained",
+    "WITH "
+    + _DIMS_SQL
+    + ","
+    + _TRAINED_CENTS_SQL
+    + """,
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid,
+             row_number() OVER (PARTITION BY d.vec_id
+                                ORDER BY round(sum((d.v - c.cv) *
+                                                   (d.v - c.cv)), 6), c.cid)
+               AS rn
+      FROM dims d JOIN c2 c ON d.dim = c.dim
+      GROUP BY d.vec_id, c.cid)
+    WHERE rn = 1),
+  cand AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS cand_id
+    FROM assign q JOIN assign c
+      ON q.cid = c.cid AND q.vec_id < 20 AND c.vec_id <> q.vec_id)
+    SELECT q_id, CAST(rn AS BIGINT) AS rn, cand_id FROM (
+      SELECT x.q_id, x.cand_id,
+             row_number() OVER (PARTITION BY x.q_id
+                                ORDER BY x.c DESC, x.cand_id) AS rn
+      FROM (
+        SELECT cd.q_id, cd.cand_id,
+               round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS c
+        FROM cand cd
+        JOIN dims a ON a.vec_id = cd.q_id
+        JOIN dims b ON b.vec_id = cd.cand_id AND b.dim = a.dim
+        JOIN norms na ON na.vec_id = cd.q_id
+        JOIN norms nb ON nb.vec_id = cd.cand_id
+        GROUP BY cd.q_id, cd.cand_id, na.nrm, nb.nrm) x)
+    WHERE rn <= 3
+    """,
+)
+def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED-IVF composition (round-3 item 6): run _IVF_ITERS=2 full Lloyd
+    iterations from the deterministic init (first 8 vectors) — each
+    iteration is exactly the q_kmeans_step plan: broadcast 1-row centroid
+    array, per-row argmin fold, ONE groupBy shuffle — then build the IVF
+    index on the TRAINED centroids and probe the query's cell with exact
+    cosine re-rank to top-3.  Proves the coarse quantizer is trainable
+    end-to-end: swapping centroids changes recall, never plan shape; the
+    loop is driver-side composition of identical DataFrame steps, no
+    collect of anything but nothing (centroids stay a broadcast frame).
+    Centroid means round(·, 6) each iteration on both engines so the
+    assignment argmins agree despite summation-order ulp differences."""
+    e = _emb(spark, sf)
+    cent_row = (
+        T(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("cemb"),
+        )
+        .agg(F.collect_list(F.struct("cid", "cemb")).alias("cents"))
+    )
+    for _ in range(_IVF_ITERS):
+        cent_row = _lloyd_step(e, cent_row)
+
+    assign = e.crossJoin(F.broadcast(cent_row)).select(
+        "vec_id", _argmin_cid().alias("cid")
+    )
+    q = assign.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "cid"
+    )
+    cand = (
+        q.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"))
+    )
+    qa = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("qn"),
+    )
+    ca = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    return (
+        cand.join(F.broadcast(qa), "q_id")
+        .join(ca, "cand_id")
+        .select("q_id", "cand_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", F.col("rn").cast("long").alias("rn"), "cand_id")
     )
 
 
