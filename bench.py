@@ -36,12 +36,16 @@ BENCH_QUERIES = [
     "q_simhash",           # token-bit sketch
     "q_ann_topk",          # brute-force cosine top-k (array-native)
     "q_ann_lsh",           # hyperplane buckets + re-rank (round 2)
-    "q_ocr_lines",         # OCR-shaped chain: boxes → conf → lines (round 2)
+    "q_ocr_lines",         # OCR chain from the shared kernel pass (round 3)
     "q_fingerprint",       # posexplode + lead window + agg
     "q_token_count",       # regexp_count projection
     "q_mm_decode",         # mapInPandas binary plumbing
     "q_asof_join",         # as-of composition (equi key + time predicate)
     "q_rollup",            # hierarchical rollup
+    "q_ann_ivf_trained",   # 2 Lloyd iterations + trained-cell probe (round 3)
+    "q_pdf_cmap",          # Type0/CID + ToUnicode font gate (round 3)
+    "q_pdf_encrypted",     # RC4/AES standard-handler decrypt gate (round 3)
+    "q_jpeg_420",          # 4:2:0 generic-MCU codec gate (round 3)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.
@@ -76,9 +80,10 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v2: corpus content changed in round 2 (PDF 1.5 dialect docs, real RGB
-    # image payloads) — the version tag invalidates any stale staged corpus
-    corpus_path = f"/tmp/bench_corpus_v3_{N_EXTRACT}"
+    # v4: round-3 corpus serializes half the PDFs with Type0/CID fonts and
+    # half the JPEG images as 4:2:0 — the version tag invalidates any stale
+    # staged corpus (text goldens are unchanged; payload bytes are not)
+    corpus_path = f"/tmp/bench_corpus_v4_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -2,7 +2,7 @@
 
 No real cluster exists in this sandbox, so the two-cluster-size criterion is
 evidenced by running the IDENTICAL extraction job on the IDENTICAL staged
-input at local[4] (N) and local[16] (4N):
+input at THREE local sizes — local[4] (N), local[8] (2N), local[16] (4N):
 
 * same input snapshot: a parquet corpus staged once under /tmp;
 * the job is MAP-ONLY — scan -> doc-level kernel (mapInPandas) -> parquet
@@ -10,23 +10,24 @@ input at local[4] (N) and local[16] (4N):
   per-task input bytes, so no repartition is needed or wanted at 100 TB);
 * scan width sized to the tiny corpus (1 MB splits) — at 100 TB the default
   128 MB split gives the same width naturally;
-* N=4 / 4N=16: local mode runs the JVM scheduler AND one Python kernel
-  worker per task on the same cores, so local[32] on a 32-vCPU box is 2x
-  oversubscribed — an artifact of local mode, not of the plan; 4-vs-16
-  keeps total runnable threads within the machine (the task brief allows
-  any N-vs-4N pair).  local[4] runs at the saturated pure-Python kernel
-  rate (~460-510 docs/s/core), so 4N is measured against an honest,
-  non-degraded baseline;
+* N=4 / 2N=8 / 4N=16: local mode runs the JVM scheduler AND one Python
+  kernel worker per task on the same cores, so local[32] on a 32-vCPU box
+  is 2x oversubscribed — an artifact of local mode, not of the plan;
+  4-8-16 keeps total runnable threads within the machine.  local[4] runs at
+  the saturated pure-Python kernel rate, so the larger sizes are measured
+  against an honest, non-degraded baseline; the THIRD size (round-2 verdict
+  item 10) shows the efficiency is not an artifact of one lucky pair —
+  both doubling ratios and the end-to-end 4->16 ratio are reported;
 * drift control: this sandbox's absolute throughput drifts over minutes and
   shows sporadic scheduler stalls, so the experiment runs ROUNDS of
-  temporally-adjacent child pairs with ALTERNATING order ((N, 4N), (4N, N),
-  ...) so slow windows penalize both sizes equally; each child reports its
-  min of `RUNS_PER_CHILD` timed runs, efficiency is computed per round, and
-  the MEDIAN round is the headline pass/fail number (best also reported);
+  temporally-adjacent child triples with ALTERNATING order so slow windows
+  penalize all sizes equally; each child reports its min of
+  `RUNS_PER_CHILD` timed runs, efficiency is computed per round, and the
+  MEDIAN round is the headline pass/fail number (best also reported);
 * byte-identity guard: every run's output table must digest identically —
   the determinism claim (SURVEY.md §4.3.4) behind the scaling number.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/BASELINE.md (scaling section) and prints one JSON line.
 
 Usage:  python scripts/bench_scaling.py            # full experiment
         python scripts/bench_scaling.py --child N  # internal
@@ -36,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -44,13 +46,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "64000"))
+N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "200000"))
 GEN_PARTS = 64
 ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
-RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "3"))
-CORPUS = f"/tmp/scale_corpus_v3_{N_DOCS}"  # v3: r2 generator content (incl. JPEG images)
+RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "2"))
+# v4: round-3 generator content (CID-font PDFs, 4:2:0 JPEG images)
+CORPUS = f"/tmp/scale_corpus_v4_{N_DOCS}"
 OUT = "/tmp/scale_out"
-N_SMALL, N_BIG = 4, 16
+SIZES = [4, 8, 16]  # N, 2N, 4N
 
 
 def stage_corpus() -> None:
@@ -111,7 +114,7 @@ def child(cores: int) -> None:
 def _run_child(cores: int) -> dict:
     p = subprocess.run(
         [sys.executable, __file__, "--child", str(cores)],
-        capture_output=True, text=True, cwd=str(REPO), timeout=1800,
+        capture_output=True, text=True, cwd=str(REPO), timeout=3600,
     )
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
     if not lines:
@@ -127,72 +130,95 @@ def main() -> None:
     rounds = []
     digests = set()
     for i in range(ROUNDS):
-        # alternate which size runs first so temporal drift within a round
-        # biases neither direction
-        order = (N_SMALL, N_BIG) if i % 2 == 0 else (N_BIG, N_SMALL)
+        # alternate child order so temporal drift within a round biases
+        # no size systematically
+        order = SIZES if i % 2 == 0 else list(reversed(SIZES))
         res = {c: _run_child(c) for c in order}
-        rn, rb = res[N_SMALL], res[N_BIG]
-        digests.update([rn["digest"], rb["digest"]])
-        eff = (rb["docs_per_sec"] / rn["docs_per_sec"]) / (N_BIG / N_SMALL)
-        rounds.append({"small": rn, "big": rb, "efficiency": round(eff, 3),
-                       "order": f"{order[0]}->{order[1]}"})
-    effs = sorted(r["efficiency"] for r in rounds)
-    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-    )
-    best = max(rounds, key=lambda r: r["efficiency"])
-    eff = median_eff
+        digests.update(r["digest"] for r in res.values())
+        tp = {c: res[c]["docs_per_sec"] for c in SIZES}
+        effs = {
+            "4_to_8": round((tp[8] / tp[4]) / 2, 3),
+            "8_to_16": round((tp[16] / tp[8]) / 2, 3),
+            "4_to_16": round((tp[16] / tp[4]) / 4, 3),
+        }
+        rounds.append({"res": res, "eff": effs,
+                       "order": "->".join(str(c) for c in order)})
+    med = {
+        k: round(statistics.median(r["eff"][k] for r in rounds), 3)
+        for k in ("4_to_8", "8_to_16", "4_to_16")
+    }
+    best_round = max(rounds, key=lambda r: r["eff"]["4_to_16"])
+    headline = med["4_to_16"]  # the north-rule N-vs-4N number
     identical = len(digests) == 1
     summary = {
         "n_docs": N_DOCS,
-        "cluster_sizes": [N_SMALL, N_BIG],
-        "rounds": [r["efficiency"] for r in rounds],
-        "median_efficiency": median_eff,
-        "best_efficiency": best["efficiency"],
-        "best_round": best,
-        "scaling_efficiency": eff,
-        "pass_efficiency_0.8": eff >= 0.8,
+        "cluster_sizes": SIZES,
+        "rounds_4_to_16": [r["eff"]["4_to_16"] for r in rounds],
+        "median_efficiency_4_to_8": med["4_to_8"],
+        "median_efficiency_8_to_16": med["8_to_16"],
+        "median_efficiency_4_to_16": med["4_to_16"],
+        "best_efficiency_4_to_16": best_round["eff"]["4_to_16"],
+        "scaling_efficiency": headline,
+        "pass_efficiency_0.8": headline >= 0.8,
         "byte_identical_outputs": identical,
     }
-    rs, rb = best["small"], best["big"]
     rows = "\n".join(
-        f"| round {i} ({r['order']}) | {r['small']['wall_s']} | "
-        f"{r['big']['wall_s']} | {r['efficiency']} |"
+        "| round {i} ({o}) | {w4} | {w8} | {w16} | {e48} | {e816} | {e416} |".format(
+            i=i, o=r["order"],
+            w4=r["res"][4]["wall_s"], w8=r["res"][8]["wall_s"],
+            w16=r["res"][16]["wall_s"],
+            e48=r["eff"]["4_to_8"], e816=r["eff"]["8_to_16"],
+            e416=r["eff"]["4_to_16"],
+        )
         for i, r in enumerate(rounds)
     )
+    br = best_round["res"]
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "BASELINE.md").write_text(f"""# Scaling experiment (N vs 4N)
+    scaling_md = f"""# Scaling experiment (N vs 2N vs 4N)
 
 Protocol (BASELINE.md / north rule, sandbox substitution): the identical
 MAP-ONLY extraction job — parquet scan ({N_DOCS} deterministic synthetic
-docs: ~70% HTML / 20% PDF / 10% raw, 1% oversized ~1 MiB, heavy-host skew
-30%) -> vectorized doc-level kernel (mapInPandas) -> parquet sink — run at
-local[{N_SMALL}] (N) and local[{N_BIG}] (4N) in {ROUNDS} temporally-adjacent
-rounds with ALTERNATING child order (this sandbox's absolute speed drifts
-over minutes and shows sporadic stalls; alternation cancels the bias, and
-the MEDIAN round — not the best — is the pass/fail number); each cell is
-the min of {RUNS_PER_CHILD} timed runs.  No shuffle anywhere in the job:
-full-corpus extraction is a map, and scan splits bound per-task memory.
+docs: ~70% HTML / 20% PDF (both xref dialects, both font dialects) / 10%
+raw, 1% oversized ~1 MiB, heavy-host skew 30%) -> vectorized doc-level
+kernel (mapInPandas) -> parquet sink — run at local[4] (N), local[8] (2N)
+and local[16] (4N) in {ROUNDS} temporally-adjacent rounds with ALTERNATING
+child order (this sandbox's absolute speed drifts over minutes and shows
+sporadic stalls; alternation cancels the bias, and the MEDIAN round — not
+the best — is the pass/fail number); each cell is the min of
+{RUNS_PER_CHILD} timed runs.  No shuffle anywhere in the job: full-corpus
+extraction is a map, and scan splits bound per-task memory.  The third
+size exists to show the 4->16 number is consistent with two independent
+doubling ratios, not an artifact of one lucky pair.
 
-| round | local[{N_SMALL}] wall s | local[{N_BIG}] wall s | efficiency |
-|---|---|---|---|
+| round | local[4] s | local[8] s | local[16] s | eff 4->8 | eff 8->16 | eff 4->16 |
+|---|---|---|---|---|---|---|
 {rows}
 
-Best round: local[{N_SMALL}] {rs['docs_per_sec']} docs/s
-({round(rs['docs_per_sec']/N_SMALL, 1)}/core — the saturated pure-Python
-kernel rate, i.e. an honest baseline), local[{N_BIG}] {rb['docs_per_sec']}
-docs/s ({round(rb['docs_per_sec']/N_BIG, 1)}/core).
+Best round: local[4] {br[4]['docs_per_sec']} docs/s
+({round(br[4]['docs_per_sec'] / 4, 1)}/core — the saturated pure-Python
+kernel rate, i.e. an honest baseline), local[8] {br[8]['docs_per_sec']}
+docs/s ({round(br[8]['docs_per_sec'] / 8, 1)}/core), local[16]
+{br[16]['docs_per_sec']} docs/s ({round(br[16]['docs_per_sec'] / 16, 1)}/core).
 
 - **MEDIAN scaling efficiency (throughput_4N / throughput_N) / 4 =
-  {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"});
-  best round {best['efficiency']:.3f}
+  {headline:.3f}** (target >= 0.8: {"PASS" if headline >= 0.8 else "FAIL"});
+  best round {best_round['eff']['4_to_16']:.3f}
+- Median doubling efficiencies: 4->8 = {med['4_to_8']:.3f},
+  8->16 = {med['8_to_16']:.3f} (three-point consistency check)
 - **Byte-identical outputs across all runs and cluster sizes: {identical}**
   (md5 over the url-sorted (url, md5(text)) stream — the determinism guard
   of SURVEY.md §4.3.4)
 
 Raw: `{json.dumps(summary)}`
-""")
+"""
+    path = bench_dir / "BASELINE.md"
+    existing = path.read_text() if path.exists() else ""
+    skew_marker = "\n# Skew stress"
+    skew_part = ""
+    if skew_marker in existing:
+        skew_part = existing[existing.index(skew_marker):]
+    path.write_text(scaling_md + skew_part)
     print(json.dumps(summary))
 
 
