@@ -14,7 +14,10 @@ Deterministic, pure functions of their inputs.
 
 from __future__ import annotations
 
-__all__ = ["rc4", "aes128_cbc_decrypt", "CryptoError"]
+__all__ = [
+    "rc4", "aes128_cbc_decrypt", "aes_cbc_decrypt", "aes_cbc_encrypt_nopad",
+    "aes_cbc_decrypt_nopad", "CryptoError",
+]
 
 
 class CryptoError(ValueError):
@@ -82,22 +85,33 @@ def _build_sbox() -> tuple[list[int], list[int]]:
 
 _SBOX, _INV_SBOX = _build_sbox()
 
+# Precomputed GF(2^8) multiplication columns for the hot paths (MixColumns
+# uses constants {2,3}; InvMixColumns {9,11,13,14}); _gf_mul's bit loop per
+# byte would otherwise dominate the R6 KDF, which encrypts ~200 blocks per
+# iteration for 64+ iterations.
+_MUL = {c: [_gf_mul(x, c) for x in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+
 
 def _key_expansion(key: bytes) -> list[list[int]]:
-    """128-bit key -> 11 round keys of 16 bytes (FIPS-197 §5.2)."""
-    if len(key) != 16:
-        raise CryptoError("AES-128 needs a 16-byte key")
-    words = [list(key[4 * i:4 * i + 4]) for i in range(4)]
+    """128- or 256-bit key -> 11 or 15 round keys of 16 bytes
+    (FIPS-197 §5.2; Nk=4 -> 10 rounds, Nk=8 -> 14 rounds)."""
+    if len(key) not in (16, 32):
+        raise CryptoError("AES needs a 16- or 32-byte key")
+    nk = len(key) // 4
+    rounds = {4: 10, 8: 14}[nk]
+    words = [list(key[4 * i:4 * i + 4]) for i in range(nk)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]                      # RotWord
             t = [_SBOX[b] for b in t]              # SubWord
             t[0] ^= rcon
             rcon = _gf_mul(rcon, 2)
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    return [sum(words[4 * r:4 * r + 4], []) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]              # extra SubWord (AES-256)
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [sum(words[4 * r:4 * r + 4], []) for r in range(rounds + 1)]
 
 
 def _inv_shift_rows(s: list[int]) -> list[int]:
@@ -111,22 +125,24 @@ def _inv_shift_rows(s: list[int]) -> list[int]:
 
 def _inv_mix_columns(s: list[int]) -> list[int]:
     out = [0] * 16
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
     for c in range(4):
         col = s[4 * c:4 * c + 4]
-        out[4 * c + 0] = (_gf_mul(col[0], 14) ^ _gf_mul(col[1], 11)
-                          ^ _gf_mul(col[2], 13) ^ _gf_mul(col[3], 9))
-        out[4 * c + 1] = (_gf_mul(col[0], 9) ^ _gf_mul(col[1], 14)
-                          ^ _gf_mul(col[2], 11) ^ _gf_mul(col[3], 13))
-        out[4 * c + 2] = (_gf_mul(col[0], 13) ^ _gf_mul(col[1], 9)
-                          ^ _gf_mul(col[2], 14) ^ _gf_mul(col[3], 11))
-        out[4 * c + 3] = (_gf_mul(col[0], 11) ^ _gf_mul(col[1], 13)
-                          ^ _gf_mul(col[2], 9) ^ _gf_mul(col[3], 14))
+        out[4 * c + 0] = (m14[col[0]] ^ m11[col[1]]
+                          ^ m13[col[2]] ^ m9[col[3]])
+        out[4 * c + 1] = (m9[col[0]] ^ m14[col[1]]
+                          ^ m11[col[2]] ^ m13[col[3]])
+        out[4 * c + 2] = (m13[col[0]] ^ m9[col[1]]
+                          ^ m14[col[2]] ^ m11[col[3]])
+        out[4 * c + 3] = (m11[col[0]] ^ m13[col[1]]
+                          ^ m9[col[2]] ^ m14[col[3]])
     return out
 
 
 def _decrypt_block(round_keys: list[list[int]], block: bytes) -> bytes:
-    s = [b ^ k for b, k in zip(block, round_keys[10])]
-    for rnd in range(9, 0, -1):
+    last = len(round_keys) - 1
+    s = [b ^ k for b, k in zip(block, round_keys[last])]
+    for rnd in range(last - 1, 0, -1):
         s = _inv_shift_rows(s)
         s = [_INV_SBOX[b] for b in s]
         s = [b ^ k for b, k in zip(s, round_keys[rnd])]
@@ -137,9 +153,75 @@ def _decrypt_block(round_keys: list[list[int]], block: bytes) -> bytes:
     return bytes(s)
 
 
+def _shift_rows(s: list[int]) -> list[int]:
+    # forward ShiftRows: row r rotates LEFT by r (column-major state)
+    out = [0] * 16
+    for r in range(4):
+        for c in range(4):
+            out[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
+    return out
+
+
+def _mix_columns(s: list[int]) -> list[int]:
+    out = [0] * 16
+    m2, m3 = _MUL[2], _MUL[3]
+    for c in range(4):
+        col = s[4 * c:4 * c + 4]
+        out[4 * c + 0] = m2[col[0]] ^ m3[col[1]] ^ col[2] ^ col[3]
+        out[4 * c + 1] = col[0] ^ m2[col[1]] ^ m3[col[2]] ^ col[3]
+        out[4 * c + 2] = col[0] ^ col[1] ^ m2[col[2]] ^ m3[col[3]]
+        out[4 * c + 3] = m3[col[0]] ^ col[1] ^ col[2] ^ m2[col[3]]
+    return out
+
+
+def _encrypt_block(round_keys: list[list[int]], block: bytes) -> bytes:
+    """Forward cipher — needed on the DECRYPT side too: the R6 password KDF
+    (ISO 32000-2 Algorithm 2.B) runs AES-128-CBC in the ENCRYPT direction."""
+    last = len(round_keys) - 1
+    s = [b ^ k for b, k in zip(block, round_keys[0])]
+    for rnd in range(1, last):
+        s = [_SBOX[b] for b in s]
+        s = _shift_rows(s)
+        s = _mix_columns(s)
+        s = [b ^ k for b, k in zip(s, round_keys[rnd])]
+    s = [_SBOX[b] for b in s]
+    s = _shift_rows(s)
+    s = [b ^ k for b, k in zip(s, round_keys[last])]
+    return bytes(s)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt WITHOUT padding (KDF internal; len(data) % 16 == 0)."""
+    if len(data) % 16:
+        raise CryptoError("nopad CBC needs 16-byte-aligned data")
+    rk = _key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i:i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt WITHOUT padding (the /UE//OE file-key unwrap uses a zero
+    IV and no padding, ISO 32000-2 Algorithm 2.A)."""
+    if len(data) % 16:
+        raise CryptoError("nopad CBC needs 16-byte-aligned data")
+    rk = _key_expansion(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(rk, block), prev))
+        prev = block
+    return bytes(out)
+
+
 def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: 16-byte IV prefix + CBC ciphertext with RFC-2898
-    padding (always present).  Returns the unpadded plaintext."""
+    """PDF AESV2/AESV3 layout: 16-byte IV prefix + CBC ciphertext with
+    RFC-2898 padding (always present).  Key may be 16 bytes (AESV2) or 32
+    bytes (AESV3/AES-256).  Returns the unpadded plaintext."""
     if len(data) < 32 or len(data) % 16:
         raise CryptoError(f"AES-CBC payload of {len(data)} bytes")
     rk = _key_expansion(key)
@@ -154,3 +236,35 @@ def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise CryptoError("bad CBC padding")
     return bytes(out[:-pad])
+
+
+# R6 AESV3 keys are 32 bytes; the function is key-length-agnostic
+aes_cbc_decrypt = aes128_cbc_decrypt
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_r6(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B password KDF (R6): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round over the running key.
+    Public-spec math; the fixture writer computes the same function with
+    its own forward-AES implementation (sources/synth_crypt.py).
+
+    Cached: the KDF is intentionally expensive (~1 s in pure Python — real
+    deployments use hardware AES; this container has no crypto lib), and a
+    worker re-opening the same document must not pay it twice."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        rnd += 1
+        block = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], block)
+        digest = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3]
+        k = digest(e).digest()
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]

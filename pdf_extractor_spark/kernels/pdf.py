@@ -18,11 +18,12 @@ ASCIIHexDecode, ASCII85Decode, RunLengthDecode (chainable, with
 Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
 bfrange / array-destination bfrange, 1- or 2-byte codespaces), and
 standard-security-handler encryption with an empty user password
-(RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2 — kernels/crypto.py
-holds the from-scratch RC4/AES primitives).  Remaining out-of-dialect
-constructs (a Type0 font without /ToUnicode, non-Standard security
-handlers, V5/AES-256, real passwords) raise ``PdfError`` so the
-pipeline can route the row to the error side-channel instead of
+(RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2, and AES-256 V5
+R5/R6 /AESV3 incl. the ISO 32000-2 Algorithm 2.B iterated KDF —
+kernels/crypto.py holds the from-scratch RC4/AES primitives).
+Remaining out-of-dialect constructs (a Type0 font without /ToUnicode,
+non-Standard security handlers, real passwords) raise ``PdfError`` so
+the pipeline can route the row to the error side-channel instead of
 crashing the task (SURVEY.md OP-32 mapping).
 
 Deterministic: pure function of the input bytes.
@@ -536,6 +537,9 @@ class Document:
         o = self.resolve(enc.get(Name("O")))
         u = self.resolve(enc.get(Name("U")))
         p = int(self.resolve(enc.get(Name("P"))) or 0)
+        if v == 5:
+            self._setup_v5(enc, r, u)
+            return
         if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise PdfError(f"unsupported encryption V={v} R={r}")
         method = "rc4"
@@ -579,13 +583,50 @@ class Document:
             raise PdfError("encrypted with a non-empty user password")
         self._crypt = (method, key)
 
+    def _setup_v5(self, enc: dict, r: int, u) -> None:
+        """AES-256 / ISO 32000-2 (V5): R6 iterated KDF (or R5's plain
+        SHA-256), /U hash validation for the empty user password, file key
+        unwrapped from /UE.  AESV3 encrypts every object with the file key
+        directly — no per-object derivation."""
+        import hashlib
+
+        from .crypto import aes_cbc_decrypt_nopad, hash_r6
+
+        if r not in (5, 6):
+            raise PdfError(f"unsupported encryption V=5 R={r}")
+        cf = self.resolve(enc.get(Name("CF"))) or {}
+        stdcf = self.resolve(cf.get(Name("StdCF"))) or {}
+        cfm = self.resolve(stdcf.get(Name("CFM")))
+        if cfm != "AESV3":
+            raise PdfError(f"unsupported crypt filter method {cfm!r} for V5")
+        ue = self.resolve(enc.get(Name("UE")))
+        if not isinstance(u, bytes) or len(u) < 48 or not isinstance(
+                ue, bytes) or len(ue) != 32:
+            raise PdfError("malformed /U or /UE entry")
+        vsalt, ksalt = u[32:40], u[40:48]
+
+        def pw_hash(salt: bytes) -> bytes:
+            if r == 5:  # deprecated revision: single SHA-256, no iteration
+                return hashlib.sha256(b"" + salt).digest()
+            return hash_r6(b"", salt)
+
+        if pw_hash(vsalt) != u[:32]:
+            raise PdfError("encrypted with a non-empty user password")
+        key = aes_cbc_decrypt_nopad(pw_hash(ksalt), b"\x00" * 16, ue)
+        self._crypt = ("aesv3", key)
+
     def _obj_crypt(self, num: int, gen: int, data: bytes) -> bytes:
         """Algorithm 1: per-object key + RC4 or AES-CBC decrypt."""
         import hashlib
 
-        from .crypto import CryptoError, aes128_cbc_decrypt, rc4
+        from .crypto import CryptoError, aes_cbc_decrypt, rc4
 
         method, key = self._crypt
+        if method == "aesv3":  # V5: the file key is the object key
+            try:
+                return aes_cbc_decrypt(key, data)
+            except CryptoError as e:
+                raise PdfError(f"AES decrypt: {e}") from e
         m = hashlib.md5()
         m.update(key)
         m.update(num.to_bytes(3, "little"))
@@ -595,7 +636,7 @@ class Document:
         okey = m.digest()[:min(len(key) + 5, 16)]
         if method == "aesv2":
             try:
-                return aes128_cbc_decrypt(okey, data)
+                return aes_cbc_decrypt(okey, data)
             except CryptoError as e:
                 raise PdfError(f"AES decrypt: {e}") from e
         return rc4(okey, data)

@@ -329,10 +329,10 @@ _CRYPT_TOTAL_PAGES = 158  # generator spec: sum of planned page counts
 def q_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
     """Encryption gate (round-3 item 2; the reference opens encrypted PDFs
     via MuPDF): serialize 60 documents plaintext AND standard-handler
-    encrypted executor-side — variant doc_id%3 in {rc4-40, rc4-128,
-    aes-128}, xref dialect doc_id%2, font dialect doc_id%4 — decrypt+parse
-    with the kernel, and require text/metadata/image-payload equality per
-    document plus the generator-spec page total."""
+    encrypted executor-side — variant doc_id%4 in {rc4-40, rc4-128,
+    aes-128, aes-256(R5)}, xref dialect doc_id%2, font dialect doc_id%4 —
+    decrypt+parse with the kernel, and require text/metadata/image-payload
+    equality per document plus the generator-spec page total."""
     import random as _random
     from collections.abc import Iterator
 
@@ -341,7 +341,11 @@ def q_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
     from ..kernels.pdf import parse_pdf
     from ..sources.synth import make_pdf
 
-    variants = ["rc4-40", "rc4-128", "aes-128"]
+    # aes-256-r5 = the V5/AESV3 machinery (file-key unwrap from /UE, direct
+    # file-key object decryption) with the cheap R5 password hash; the full
+    # R6 iterated KDF is covered by tests/test_pdf_crypto.py (its ~1 s/hash
+    # pure-Python cost belongs in pytest, not a 50-query driver run)
+    variants = ["rc4-40", "rc4-128", "aes-128", "aes-256-r5"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -356,7 +360,7 @@ def q_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
                 re_ = parse_pdf(make_pdf(
                     _random.Random(f"crypt-gate:{doc_id}"), doc_id,
                     dialect=dialect, font=font,
-                    encrypt=variants[doc_id % 3])[0])
+                    encrypt=variants[doc_id % 4])[0])
                 same = (
                     [p["text"] for p in rp["pages"]]
                     == [p["text"] for p in re_["pages"]]

@@ -15,6 +15,7 @@ Deterministic: fixture IVs are derived from (doc label, object number).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 __all__ = ["StdEncryptor", "PAD"]
@@ -85,21 +86,26 @@ _S = _make_sbox()
 
 
 def _expand(key: bytes) -> list[bytes]:
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    nk = len(key) // 4          # 4 (AES-128) or 8 (AES-256)
+    rounds = {4: 10, 8: 14}[nk]
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
     rc = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = [_S[t[1]], _S[t[2]], _S[t[3]], _S[t[0]]]
             t[0] ^= rc
             rc = _mul(rc, 2)
-        w.append([x ^ y for x, y in zip(w[i - 4], t)])
-    return [bytes(sum(w[4 * r:4 * r + 4], [])) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            t = [_S[b] for b in t]
+        w.append([x ^ y for x, y in zip(w[i - nk], t)])
+    return [bytes(sum(w[4 * r:4 * r + 4], [])) for r in range(rounds + 1)]
 
 
 def _enc_block(rks: list[bytes], block: bytes) -> bytes:
+    last = len(rks) - 1
     s = [b ^ k for b, k in zip(block, rks[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, last):
         s = [_S[b] for b in s]
         # ShiftRows (column-major state): row r rotates LEFT by r
         s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
@@ -115,7 +121,7 @@ def _enc_block(rks: list[bytes], block: bytes) -> bytes:
         s = [b ^ k for b, k in zip(mixed, rks[rnd])]
     s = [_S[b] for b in s]
     s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-    return bytes(b ^ k for b, k in zip(s, rks[10]))
+    return bytes(b ^ k for b, k in zip(s, rks[last]))
 
 
 def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -131,11 +137,44 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt, no padding, IV not emitted (KDF / key-wrap internal)."""
+    rks = _expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _enc_block(rks, bytes(a ^ b for a, b in zip(data[i:i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_r6(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B iterated KDF (SHA-256/384/512 selected by
+    the AES output)."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    count = 0
+    while True:
+        count += 1
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            return k[:32]
+
+
 _VARIANTS = {
     # name: (V, R, key bits, CFM or None)
     "rc4-40": (1, 2, 40, None),
     "rc4-128": (2, 3, 128, None),
     "aes-128": (4, 4, 128, "AESV2"),
+    "aes-256": (5, 6, 256, "AESV3"),
+    # R5 = the deprecated single-SHA-256 revision: same V5/AESV3 object
+    # encryption and /UE key unwrap, but a cheap password hash — used for
+    # the bulk driver gate where R6's iterated KDF (~1 s/hash in pure
+    # Python) would dominate; R6 itself is covered by pytest fixtures.
+    "aes-256-r5": (5, 5, 256, "AESV3"),
 }
 
 
@@ -153,9 +192,37 @@ class StdEncryptor:
         self.n = bits // 8
         self.p = -4
         self.doc_id = hashlib.md5(f"id:{doc_label}".encode()).digest()
-        self.o = self._compute_o(owner_pwd, user_pwd)
-        self.key = self._file_key(user_pwd)
-        self.u = self._compute_u()
+        if self.v == 5:
+            self._setup_v5(owner_pwd, user_pwd)
+        else:
+            self.o = self._compute_o(owner_pwd, user_pwd)
+            self.key = self._file_key(user_pwd)
+            self.u = self._compute_u()
+
+    def _setup_v5(self, owner_pwd: bytes, user_pwd: bytes) -> None:
+        """R6 (ISO 32000-2): random-in-spirit values derived deterministically
+        from the doc label; /U = hash+vsalt+ksalt, /UE wraps the file key."""
+        seed = hashlib.sha256(b"v5:" + self.doc_id).digest()
+        self.key = hashlib.sha256(b"filekey:" + self.doc_id).digest()  # 32 B
+        if self.r == 5:
+            def hashf(pwd, salt, udata=b""):
+                return hashlib.sha256(pwd + salt + udata).digest()
+        else:
+            hashf = _hash_r6
+        vsalt, ksalt = seed[:8], seed[8:16]
+        self.u = hashf(user_pwd, vsalt) + vsalt + ksalt                # 48 B
+        self.ue = _aes_cbc_nopad(
+            hashf(user_pwd, ksalt), b"\x00" * 16, self.key)
+        ovsalt, oksalt = seed[16:24], seed[24:32]
+        self.o = hashf(owner_pwd, ovsalt, self.u) + ovsalt + oksalt
+        self.oe = _aes_cbc_nopad(
+            hashf(owner_pwd, oksalt, self.u), b"\x00" * 16, self.key)
+        perms_pt = (
+            (self.p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"T" + b"adb" + seed[:4]
+        )
+        # single block, IV 0 -> equivalent to the spec's AES-ECB
+        self.perms = _aes_cbc_nopad(self.key, b"\x00" * 16, perms_pt)
 
     # Algorithm 3
     def _compute_o(self, owner_pwd: bytes, user_pwd: bytes) -> bytes:
@@ -204,6 +271,11 @@ class StdEncryptor:
         return m.digest()[:min(self.n + 5, 16)]
 
     def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.cfm == "AESV3":
+            # R6: the FILE key encrypts every object directly (no per-object
+            # key derivation in V5)
+            iv = hashlib.md5(b"iv:%d:%d:" % (num, gen) + self.doc_id).digest()
+            return _aes_cbc_encrypt(self.key, iv, data)
         okey = self._obj_key(num, gen)
         if self.cfm == "AESV2":
             iv = hashlib.md5(b"iv:%d:%d:" % (num, gen) + self.doc_id).digest()
@@ -212,6 +284,16 @@ class StdEncryptor:
 
     def encrypt_dict(self, obj_id: int) -> bytes:
         """Serialized /Encrypt dictionary (never itself encrypted)."""
+        if self.v == 5:
+            return (
+                b"<< /Filter /Standard /V 5 /R %d /Length 256 /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (self.r, self.p, self.o.hex().encode(),
+                   self.u.hex().encode(), self.oe.hex().encode(),
+                   self.ue.hex().encode(), self.perms.hex().encode())
+            )
         base = (
             b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
             b"/O <%s> /U <%s>"

@@ -142,12 +142,16 @@ def test_unsupported_handler_and_version_error_route():
     alien = _blank(ct, b"/Filter /Standard /V 2", b"/Filter /Standarf /V 2")
     with pytest.raises(PdfError, match="handler"):
         parse_pdf(alien)
-    # AES-256 (V 5) out of scope
+    # an unknown future version errors cleanly
+    v6 = _blank(ct, b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 6 /R 7")
+    with pytest.raises(PdfError, match="V=6"):
+        parse_pdf(v6)
+    # V5 claimed but the AESV3 machinery absent (no /CF//UE) -> clean error
     v5 = _blank(ct, b"/Filter /Standard /V 2 /R 3", b"/Filter /Standard /V 5 /R 6")
-    with pytest.raises(PdfError, match="V=5"):
+    with pytest.raises(PdfError):
         parse_pdf(v5)
-    # both must side-channel, never crash
-    for b in (alien, v5):
+    # all must side-channel, never crash
+    for b in (alien, v6, v5):
         assert extract_document(b)["status"] == "error"
 
 
@@ -158,3 +162,70 @@ def test_truncated_ciphertext_error_routes():
     bad = ct.replace(b"\nendstream", b"X\nendstream", 1)
     r = extract_document(bad)
     assert r["status"] in ("ok", "error")  # never raises
+
+
+# --------------------------------------------------------------------------
+# AES-256 (V5: R6 iterated KDF and deprecated R5) — round-3 extension
+# --------------------------------------------------------------------------
+def test_aes256_kats():
+    from pdf_extractor_spark.kernels.crypto import _encrypt_block, _key_expansion
+
+    # FIPS-197 C.3 (AES-256), both directions
+    k = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                      "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _encrypt_block(_key_expansion(k), pt) == ct
+    assert _decrypt_block(_key_expansion(k), ct) == pt
+
+
+def test_r6_kdf_implementations_agree():
+    from pdf_extractor_spark.kernels.crypto import hash_r6
+    from pdf_extractor_spark.sources.synth_crypt import _hash_r6
+
+    for pwd, salt, ud in [(b"", b"saltsalt", b""), (b"pw", b"12345678", b"U" * 48)]:
+        assert hash_r6(pwd, salt, ud) == _hash_r6(pwd, salt, ud)
+
+
+@pytest.mark.parametrize("variant", ("aes-256", "aes-256-r5"))
+def test_aes256_twin_equals_plaintext(variant):
+    doc_id = 4
+    r0 = random.Random(f"a256t:{doc_id}")
+    plain, lines = make_pdf(r0, doc_id, dialect="modern", font="cid")
+    r1 = random.Random(f"a256t:{doc_id}")
+    ct, lines2 = make_pdf(r1, doc_id, dialect="modern", font="cid",
+                          encrypt=variant)
+    assert lines == lines2 and b"/AESV3" in ct
+    expected_r = b"/R 6" if variant == "aes-256" else b"/R 5"
+    assert expected_r in ct
+    pp, pe = parse_pdf(plain), parse_pdf(ct)
+    assert [p["text"] for p in pe["pages"]] == [p["text"] for p in pp["pages"]]
+    assert pe["metadata"] == pp["metadata"]
+
+
+def test_aes256_wrong_password_error_routes():
+    from pdf_extractor_spark.sources.synth_crypt import StdEncryptor
+    import pdf_extractor_spark.sources.synth_crypt as sc
+
+    class PwEnc(StdEncryptor):
+        def __init__(self, variant, label, **kw):
+            super().__init__(variant, label, user_pwd=b"real-secret")
+
+    old = sc.StdEncryptor
+    sc.StdEncryptor = PwEnc
+    try:
+        ct, _ = make_pdf(random.Random("a256pw"), 1, dialect="classic",
+                         encrypt="aes-256-r5")
+    finally:
+        sc.StdEncryptor = old
+    with pytest.raises(PdfError, match="password"):
+        parse_pdf(ct)
+    assert extract_document(ct)["status"] == "error"
+
+
+def test_v5_bad_cfm_error_routes():
+    ct, _ = make_pdf(random.Random("a256cfm"), 1, dialect="classic",
+                     encrypt="aes-256-r5")
+    bad = ct.replace(b"/CFM /AESV3", b"/CFM /AESV9", 1)
+    with pytest.raises(PdfError, match="crypt filter"):
+        parse_pdf(bad)
