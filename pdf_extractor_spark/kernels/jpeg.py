@@ -5,7 +5,8 @@ Scope: baseline sequential DCT, 8-bit, YCbCr or grayscale, with 4:4:4
 and 4:2:2 (luma 2x1) sampling via generic MCU interleaving and
 nearest-neighbor chroma upsampling — the dialects the fixture encoder
 (sources/synth_jpeg.py) emits and the common output of simple encoders.
-Progressive, arithmetic coding, and restart markers raise ``JpegError``
+Restart markers (DRI/RSTn, with sequence checking and predictor reset)
+are supported; progressive and arithmetic coding raise ``JpegError``
 (the error side-channel route, same policy as the PDF kernel).
 
 All Huffman and quantization tables are read FROM THE FILE's DHT/DQT
@@ -86,6 +87,27 @@ class _BitReader:
     def bit(self) -> int:
         return self.bits(1)
 
+    def sync_restart(self, expect: int) -> None:
+        """Byte-align, consume the RSTn marker, check the modulo-8 index
+        (T.81 E.1.4: entropy data between restarts is 1-padded to a byte
+        boundary; the marker sequence number cycles 0-7)."""
+        self.acc = 0
+        self.n = 0  # discard pad bits of the finished restart interval
+        d = self.data
+        # an all-ones pad byte is 0xFF and carries a stuffed 0x00 the bit
+        # reader may not have consumed — step over any such pairs
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0x00:
+            self.pos += 2
+        if self.pos + 2 > len(d) or d[self.pos] != 0xFF:
+            raise JpegError(f"expected RST marker at {self.pos}")
+        m = d[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise JpegError(f"expected RST marker, got 0xff{m:02x}")
+        if m - 0xD0 != expect % 8:
+            raise JpegError(
+                f"RST sequence error: got {m - 0xD0}, want {expect % 8}")
+        self.pos += 2
+
 
 def _build_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
     """(code_length, code) -> symbol, canonical per spec Annex C."""
@@ -132,6 +154,7 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
     width = height = None
     scan_pos = None
     scan_comps: list[dict] = []
+    restart_interval = 0
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -176,8 +199,10 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
                 tab = _build_huffman(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nvals
-        elif marker == 0xDD:
-            raise JpegError("restart intervals out of scope")
+        elif marker == 0xDD:  # DRI
+            if seg_len != 4:
+                raise JpegError("bad DRI length")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for c in range(ns):
@@ -206,8 +231,13 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
     pred = [0] * len(comps)
     by_id = {c["id"]: i for i, c in enumerate(comps)}
 
+    mcu_idx = 0
     for mby in range(mcus_y):
         for mbx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                br.sync_restart(mcu_idx // restart_interval - 1)
+                pred = [0] * len(comps)
+            mcu_idx += 1
             for sc in scan_comps:
                 ci = by_id[sc["id"]]
                 comp = comps[ci]

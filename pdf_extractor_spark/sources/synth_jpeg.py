@@ -123,13 +123,16 @@ def _zz_blocks(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
                          channels: int = 3,
-                         subsampling: str = "444") -> bytes:
+                         subsampling: str = "444",
+                         restart_interval: int = 0) -> bytes:
     """8-bit pixels (packed, row-major) -> baseline JPEG bytes.
 
     ``subsampling='444'``: all components 1x1 (one block per MCU each).
     ``subsampling='420'`` (3-channel only): luma 2x2, chroma 1x1 with 2x2
     box-mean downsampling — the generic-MCU dialect the decoder's
-    interleaved path must reassemble."""
+    interleaved path must reassemble.
+    ``restart_interval``: emit a DRI segment and an RSTn marker (cycling
+    0-7, predictors reset, 1-padded byte alignment) every N MCUs."""
     if channels not in (1, 3):
         raise ValueError("1 or 3 channels only")
     if len(pixels) != width * height * channels:
@@ -189,6 +192,8 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     # DHT: DC table 0, AC table 0 (shared by all components)
     out += _dht_segment(0x00, 4, _DC_SYMS)
     out += _dht_segment(0x10, 8, _AC_SYMS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
@@ -205,8 +210,15 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
 
     bw = _BitWriter()
     pred = [0] * ncomp
+    mcu_idx = 0
     for mby in range(mcus_y):
         for mbx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw.flush()
+                out_rst = (mcu_idx // restart_interval - 1) % 8
+                bw.out += b"\xff" + bytes([0xD0 + out_rst])
+                pred = [0] * ncomp
+            mcu_idx += 1
             for ci in range(ncomp):
                 h, v = sampf[ci]
                 _, bw_blocks = grids[ci]

@@ -137,3 +137,39 @@ def test_encoder_rejects_bad_subsampling_args():
         encode_jpeg_baseline(8, 8, img.tobytes(), 1, subsampling="420")
     with pytest.raises(ValueError):
         encode_jpeg_baseline(8, 8, img.tobytes(), 1, subsampling="422")
+
+
+# --------------------------------------------------------------------------
+# Restart markers (DRI/RSTn) — round-3 extension
+# --------------------------------------------------------------------------
+def test_restart_interval_roundtrip_identical_to_plain():
+    import numpy as np
+
+    x = np.arange(33)[None, :]
+    y = np.arange(21)[:, None]
+    img = np.stack(
+        [np.minimum(2 * x + y, 255), np.minimum(x + 2 * y, 255),
+         np.minimum(30 + x + y, 255)], axis=-1).astype(np.uint8)
+    for sub in ("444", "420"):
+        _, _, _, base = decode_jpeg_baseline(
+            encode_jpeg_baseline(33, 21, img.tobytes(), 3, subsampling=sub))
+        for ri in (1, 4, 9):
+            data = encode_jpeg_baseline(33, 21, img.tobytes(), 3,
+                                        subsampling=sub, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI present
+            _, _, _, px = decode_jpeg_baseline(data)
+            assert px == base  # restarts change framing, never pixels
+
+
+def test_restart_sequence_error_detected():
+    import numpy as np
+
+    img = np.zeros((24, 24, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_baseline(24, 24, img.tobytes(), 3,
+                                          restart_interval=1))
+    # find the first RST0 marker in the scan and corrupt its index
+    i = data.find(b"\xff\xd0")
+    assert i > 0
+    data[i + 1] = 0xD5
+    with pytest.raises(JpegError, match="RST sequence"):
+        decode_jpeg_baseline(bytes(data))
