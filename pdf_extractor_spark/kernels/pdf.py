@@ -367,6 +367,21 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1,
     return bytes(out)
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int = 1,
+                    bpc: int = 8) -> bytes:
+    """Reverse TIFF Predictor 2 (horizontal differencing): each sample adds
+    the sample one pixel to its left, per row.  8-bit components only (the
+    common case; other depths error-route)."""
+    if bpc != 8:
+        raise PdfError(f"TIFF predictor with bpc={bpc} out of scope")
+    rowlen = columns * colors
+    out = bytearray(data)
+    for start in range(0, len(out) - rowlen + 1, rowlen):
+        for i in range(start + colors, start + rowlen):
+            out[i] = (out[i] + out[i - colors]) & 0xFF
+    return bytes(out)
+
+
 class Document:
     """Parsed PDF: xref map + lazy object cache.
 
@@ -783,13 +798,39 @@ class Document:
         bpc = int(parms.get(Name("BitsPerComponent"), 8))
         if pred >= 10:  # PNG predictors (per-row tag byte)
             return _png_unpredict(data, columns, colors, bpc)
-        raise PdfError(f"unsupported predictor {pred}")  # TIFF pred 2
+        if pred == 2:  # TIFF horizontal differencing (§7.4.4.4)
+            return _tiff_unpredict(data, columns, colors, bpc)
+        raise PdfError(f"unsupported predictor {pred}")
 
 
 # --------------------------------------------------------------------------
 # Content-stream interpretation
 # --------------------------------------------------------------------------
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+
+
+def _skip_inline_image(lx: _Lexer) -> None:
+    """Skip a BI ... ID <binary> EI inline image (PDF 32000-1 §8.9.7): the
+    key/value dict parses with the normal lexer, the binary payload scans to
+    a whitespace-delimited EI.  The text path ignores inline images (like
+    the reference's get_text), but must not let their raw bytes derail the
+    operator stream."""
+    data = lx.data
+    while True:
+        lx._skip_ws()
+        if data.startswith(b"ID", lx.pos):
+            lx.pos += 2
+            break
+        if lx.pos >= len(data):
+            raise PdfError("inline image without ID")
+        lx.parse_object()
+    if lx.pos < len(data) and data[lx.pos] in _WS:
+        lx.pos += 1  # single whitespace after ID
+    m = _EI_RE.search(data, lx.pos)
+    if not m:
+        raise PdfError("unterminated inline image")
+    lx.pos = m.end()
 
 
 def _tokenize_content(data: bytes):
@@ -808,14 +849,21 @@ def _tokenize_content(data: bytes):
             if not m:
                 raise PdfError(f"bad content token at {lx.pos}: {data[lx.pos:lx.pos+10]!r}")
             lx.pos = m.end()
-            yield ("op", m.group().decode("latin-1"))
+            op = m.group().decode("latin-1")
+            if op == "BI":
+                _skip_inline_image(lx)
+                continue
+            yield ("op", op)
 
 
 def _decode_pdf_string(b: bytes) -> str:
     """Simple-font string decode.  Fixture dialect uses WinAnsi-ish Latin-1;
-    UTF-16BE with BOM also handled (PDF text-string convention)."""
+    UTF-16BE and UTF-16LE with BOM also handled (PDF 2.0 allows both
+    text-string encodings)."""
     if b.startswith(b"\xfe\xff"):
         return b[2:].decode("utf-16-be", "replace")
+    if b.startswith(b"\xff\xfe"):
+        return b[2:].decode("utf-16-le", "replace")
     return b.decode("latin-1")
 
 

@@ -159,6 +159,20 @@ def _content_stream(rng: random.Random, lines: list[str],
         chunks.append(b"\n".join(ops))
         y -= 16.0
     rng.shuffle(chunks)  # emission order != reading order: forces OP-48 sort
+    # Inline images (BI/ID/EI, §8.9.7) between text objects for ~1 line in 5.
+    # Keyed off a crc of the line text and inserted AFTER the shuffle — zero
+    # rng draws, so document text is byte-invariant to this dialect.  The
+    # binary payload uses only bytes >= 0x80, so a stray 'EI' cannot occur
+    # inside it; the parser's text path must skip the image unharmed.
+    import zlib as _z
+
+    for line in lines:
+        crc = _z.crc32(line.encode("utf-8"))
+        if crc % 5 == 0:
+            px = bytes(0x80 + ((crc >> (i % 24)) + 7 * i) % 128
+                       for i in range(48))
+            img = (b"BI /W 4 /H 4 /CS /RGB /BPC 8 ID " + px + b"\nEI")
+            chunks.insert(crc % (len(chunks) + 1), img)
     return b"\n".join(chunks) + b"\n"
 
 
@@ -472,10 +486,20 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
             t, f2, f3 = 2, objstm_id, embedded.index(num)
         rows.append(t)
         rows += f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
-    use_pred = enc_rng.random() < 0.5
-    if use_pred:
+    # one draw, three-way split (draw count unchanged vs the round-2 writer,
+    # so document text stays byte-identical): PNG Up, TIFF horizontal
+    # differencing, or no predictor
+    pred_r = enc_rng.random()
+    if pred_r < 0.34:
         xdata = zlib.compress(_png_up_predict(bytes(rows), 6), 6)
         parms = b" /DecodeParms << /Predictor 12 /Columns 6 >>"
+    elif pred_r < 0.67:
+        diff = bytearray(rows)
+        for s in range(0, len(diff), 6):
+            for i in range(min(s + 6, len(diff)) - 1, s, -1):
+                diff[i] = (rows[i] - rows[i - 1]) & 0xFF
+        xdata = zlib.compress(bytes(diff), 6)
+        parms = b" /DecodeParms << /Predictor 2 /Columns 6 >>"
     else:
         xdata = zlib.compress(bytes(rows), 6)
         parms = b""

@@ -1,6 +1,7 @@
 """OP-59/OP-60 PDF layout-parser kernel tests (FIXTURES.md dialect B)."""
 
 import random
+import re
 import zlib
 
 import pytest
@@ -331,3 +332,52 @@ def test_unmapped_cid_decodes_to_replacement_char():
     assert dec(b"\x00\x01\x00\x02\x00\x63") == "hi�"
     # odd trailing byte is ignored (incomplete code)
     assert dec(b"\x00\x01\x00") == "h"
+
+
+# --------------------------------------------------------------------------
+# Round-3 robustness: inline images, TIFF predictor, UTF-16LE strings
+# --------------------------------------------------------------------------
+def test_inline_images_do_not_disturb_text():
+    """BI/ID/EI inline images (binary payload with high-bit bytes) must be
+    skipped; text equals the generator's reading-order plan."""
+    found = False
+    for doc_id in range(40):
+        rng = random.Random(f"bi:{doc_id}")
+        data, lines = make_pdf(rng, doc_id, dialect="classic")
+        r = parse_pdf(data)
+        assert [p["text"] for p in r["pages"]] == ["\n".join(ls) for ls in lines]
+        # confirm at least one fixture actually contains an inline image
+        content = zlib.decompress(
+            re.search(rb"stream\r?\n(.*?)\nendstream", data, re.S).group(1))
+        if b"BI /W 4" in content:
+            found = True
+    assert found
+
+
+def test_unterminated_inline_image_error_routes():
+    from pdf_extractor_spark.kernels.pdf import _extract_runs
+
+    with pytest.raises(PdfError, match="inline image"):
+        _extract_runs(b"BI /W 4 /H 4 ID \x80\x81\x82")
+
+
+def test_tiff_predictor_roundtrip():
+    from pdf_extractor_spark.kernels.pdf import _tiff_unpredict
+
+    orig = bytes((i * 37) & 0xFF for i in range(24))
+    cols, colors = 4, 2
+    rowlen = cols * colors
+    diff = bytearray(orig)
+    for s in range(0, len(diff), rowlen):
+        for i in range(s + rowlen - 1, s + colors - 1, -1):
+            diff[i] = (orig[i] - orig[i - colors]) & 0xFF
+    assert _tiff_unpredict(bytes(diff), cols, colors, 8) == orig
+    with pytest.raises(PdfError, match="bpc"):
+        _tiff_unpredict(b"\x00", 4, 1, 4)
+
+
+def test_utf16le_string_decode():
+    from pdf_extractor_spark.kernels.pdf import _decode_pdf_string
+
+    assert _decode_pdf_string(b"\xff\xfeh\x00i\x00") == "hi"
+    assert _decode_pdf_string(b"\xfe\xff\x00h\x00i") == "hi"
