@@ -13,10 +13,12 @@ Two codec tiers:
   against a SQL-stated pixel formula.
 * STUB (kept): payloads that are arbitrary bytes (the documents.text
   stand-ins) use the deterministic metadata stub so the plumbing queries
-  stay value-verified on any input.  Baseline JPEG — 4:4:4 AND 4:2:0 /
-  4:2:2 subsampled — decodes for real via kernels/jpeg.py; only
-  progressive and arithmetic-coded JPEG remain out of scope and
-  error-route (q_jpeg_420 gates the subsampled path).
+  stay value-verified on any input.  JPEG decodes for real via
+  kernels/jpeg.py — sequential baseline (4:4:4, 4:2:0/4:2:2 subsampled,
+  restart markers) AND huffman progressive (spectral selection +
+  successive approximation); only arithmetic-coded JPEG remains out of
+  scope and error-routes (q_jpeg_420 and q_jpeg_progressive gate these
+  paths).
 """
 
 from __future__ import annotations
@@ -41,11 +43,10 @@ def decode_image_real(payload: bytes, width: int | None = None,
                       height: int | None = None) -> dict:
     """Real image decode (kernels/png.py + kernels/jpeg.py).
 
-    PNG and baseline-JPEG payloads are self-describing; zlib raw-RGB
-    payloads (PDF /FlateDecode /DeviceRGB XObjects) need the declared
-    width/height from the XObject dict.  Non-baseline JPEG dialects
-    (progressive / subsampled / arithmetic) raise JpegError from the
-    kernel — the error-side-channel route."""
+    PNG and JPEG payloads (sequential or progressive) are self-describing;
+    zlib raw-RGB payloads (PDF /FlateDecode /DeviceRGB XObjects) need the
+    declared width/height from the XObject dict.  Arithmetic-coded JPEG
+    raises JpegError from the kernel — the error-side-channel route."""
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         w, h, ch, px = decode_png(payload)
         return {"width": w, "height": h, "channels": ch, "pixels": px,
@@ -322,6 +323,74 @@ def q_jpeg_420(spark: SparkSession, sf: str) -> DataFrame:
 
     per_doc = (
         spark.range(0, 100, numPartitions=8)
+        .mapInPandas(run, schema="ok int, w int, h int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_ok"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum("h").cast("long").alias("sum_h"),
+    )
+
+
+@query(
+    "q_jpeg_progressive",
+    # SQL-derived (non-circular) oracle, same discipline as q_jpeg_420: the
+    # per-doc image sizes are a doc_id function stated in SQL; a correct
+    # progressive codec pair decodes every scan script to EXACTLY the
+    # sequential encoding's pixels, so n_ok == n_docs by construction.
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_ok,
+           CAST(sum(16 + i % 33) AS BIGINT) AS sum_w,
+           CAST(sum(14 + (i * 5) % 29) AS BIGINT) AS sum_h
+    FROM range(0, 80) t(i)
+    """,
+)
+def q_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """Progressive-JPEG gate (round 3; the reference decodes progressive via
+    Pillow, image_extractor.py:131-140): encode 80 deterministic images as
+    SOF2 progressive executor-side — spectral-selection and full
+    successive-approximation scripts alternating per doc, 4:4:4/4:2:0
+    alternating — decode with the multi-scan kernel, and require the pixels
+    BYTE-EQUAL to the sequential (SOF0) encoding's decode: same
+    coefficients, so equality is exact, not tolerance-based."""
+    import numpy as np
+
+    from ..kernels.jpeg import decode_jpeg_baseline
+    from ..sources.synth_jpeg import (
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, ws, hs = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                w = 16 + doc_id % 33
+                h = 14 + (doc_id * 5) % 29
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack([
+                    (3 * x + 7 * y + doc_id) % 256,
+                    (5 * x + 2 * y + 31 * doc_id) % 256,
+                    (x + y + 77 * doc_id) % 256,
+                ], axis=-1).astype(np.uint8)
+                sub = "420" if doc_id % 2 else "444"
+                _, _, _, seq = decode_jpeg_baseline(encode_jpeg_baseline(
+                    w, h, img.tobytes(), 3, subsampling=sub))
+                prog = encode_jpeg_progressive(
+                    w, h, img.tobytes(), 3, subsampling=sub,
+                    successive=doc_id % 4 < 2)
+                w2, h2, ch, px = decode_jpeg_baseline(prog)
+                ok.append(1 if (w2, h2, ch) == (w, h, 3) and px == seq else 0)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame({"ok": ok, "w": ws, "h": hs})
+
+    per_doc = (
+        spark.range(0, 80, numPartitions=8)
         .mapInPandas(run, schema="ok int, w int, h int")
     )
     return per_doc.agg(

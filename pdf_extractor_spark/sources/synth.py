@@ -376,14 +376,26 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                     from .synth_jpeg import encode_jpeg_baseline
 
                     # half the JPEGs use 4:2:0 chroma subsampling (the most
-                    # common real-world dialect) and a quarter carry DRI/RST
-                    # restart markers; both keyed off seed64, not fresh
-                    # draws, so text goldens stay byte-identical
-                    payload = encode_jpeg_baseline(
-                        w, h, _rgb_pixels(w, h, seed64), 3,
-                        subsampling="420" if seed64[5] % 2 else "444",
-                        restart_interval=2 if seed64[7] % 4 == 0 else 0,
-                    )
+                    # common real-world dialect); of the rest, a quarter
+                    # carry DRI/RST restart markers and a quarter are
+                    # PROGRESSIVE (SOF2, successive-approximation script).
+                    # All keyed off seed64, not fresh draws, so text goldens
+                    # stay byte-identical.
+                    sub = "420" if seed64[5] % 2 else "444"
+                    if seed64[9] % 4 == 0:
+                        from .synth_jpeg import encode_jpeg_progressive
+
+                        payload = encode_jpeg_progressive(
+                            w, h, _rgb_pixels(w, h, seed64), 3,
+                            subsampling=sub,
+                            successive=seed64[9] % 8 == 0,
+                        )
+                    else:
+                        payload = encode_jpeg_baseline(
+                            w, h, _rgb_pixels(w, h, seed64), 3,
+                            subsampling=sub,
+                            restart_interval=2 if seed64[7] % 4 == 0 else 0,
+                        )
                     img_filter = b"/DCTDecode"
                 else:
                     payload = zlib.compress(_rgb_pixels(w, h, seed64), 6)

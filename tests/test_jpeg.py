@@ -173,3 +173,64 @@ def test_restart_sequence_error_detected():
     data[i + 1] = 0xD5
     with pytest.raises(JpegError, match="RST sequence"):
         decode_jpeg_baseline(bytes(data))
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — round-3 extension
+# --------------------------------------------------------------------------
+def test_progressive_equals_sequential_decode():
+    """Progressive scans carry the SAME quantized coefficients, so decoded
+    pixels must be byte-identical to the sequential encoding's decode —
+    both scan scripts, both subsamplings, color + grayscale."""
+    import numpy as np
+
+    from pdf_extractor_spark.sources.synth_jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    for (w, h) in [(16, 16), (37, 23), (8, 8), (17, 2)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            _, _, _, seq = decode_jpeg_baseline(
+                encode_jpeg_baseline(w, h, img.tobytes(), 3, subsampling=sub))
+            for succ in (False, True):
+                prog = encode_jpeg_progressive(
+                    w, h, img.tobytes(), 3, subsampling=sub, successive=succ)
+                i = prog.find(b"\xff\xc2")
+                assert 0 < i < 120  # SOF2 header present
+                _, _, _, px = decode_jpeg_baseline(prog)
+                assert px == seq
+    gray = rng.integers(0, 256, (25, 9), dtype=np.uint8)
+    _, _, _, seq = decode_jpeg_baseline(encode_jpeg_baseline(9, 25, gray.tobytes(), 1))
+    for succ in (False, True):
+        _, _, _, px = decode_jpeg_baseline(
+            encode_jpeg_progressive(9, 25, gray.tobytes(), 1, successive=succ))
+        assert px == seq
+
+
+def test_progressive_long_eob_runs():
+    """A large near-flat image produces multi-block EOB runs with interleaved
+    correction bits — the G.1.2.3 paths that are easy to get subtly wrong."""
+    import numpy as np
+
+    from pdf_extractor_spark.sources.synth_jpeg import encode_jpeg_progressive
+
+    img = np.full((96, 96, 3), 128, dtype=np.uint8)
+    img[40, 40] = [255, 0, 255]  # one sharp impulse amid flat blocks
+    _, _, _, seq = decode_jpeg_baseline(
+        encode_jpeg_baseline(96, 96, img.tobytes(), 3))
+    prog = encode_jpeg_progressive(96, 96, img.tobytes(), 3, successive=True)
+    _, _, _, px = decode_jpeg_baseline(prog)
+    assert px == seq
+
+
+def test_unsupported_jpeg_modes_error_route():
+    import numpy as np
+
+    from pdf_extractor_spark.sources.synth_jpeg import encode_jpeg_progressive
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(16, 16, img.tobytes(), 3))
+    i = data.find(b"\xff\xc2")
+    data[i + 1] = 0xC9  # arithmetic sequential
+    with pytest.raises(JpegError, match="out of scope"):
+        decode_jpeg_baseline(bytes(data))
