@@ -7,9 +7,11 @@ version-dependent anyway — so the codec is built here on ``zlib`` + pure
 integer math, making every output byte a deterministic function of the
 input:
 
-* ``encode_png`` / ``decode_png`` — 8-bit gray / gray+alpha / RGB / RGBA,
-  row-filter None on encode, all five PNG filters understood on decode
-  (same filter algebra as the PDF xref-stream predictor, kernels/pdf.py);
+* ``encode_png`` / ``encode_png_palette`` / ``decode_png`` — 8-bit gray /
+  gray+alpha / RGB / RGBA / indexed-palette (PLTE + optional tRNS → RGBA),
+  sequential or Adam7-interlaced; row-filter None on encode, all five PNG
+  filters understood on decode (same filter algebra as the PDF xref-stream
+  predictor, kernels/pdf.py);
 * ``enhance`` — contrast x1.3 around the 128 midpoint then a 3x3 unsharp
   pass (x1.5), the reference's ImageEnhance recipe restated as exact
   integer math;
@@ -30,6 +32,7 @@ import zlib
 __all__ = [
     "PngError",
     "encode_png",
+    "encode_png_palette",
     "decode_png",
     "enhance",
     "thumbnail",
@@ -50,10 +53,49 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
-    """8-bit image -> PNG bytes (filter 0 rows, one zlib IDAT).
-    ``pixels`` is row-major packed samples, len == width*height*channels.
-    channels: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA."""
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _pass_dims(width: int, height: int):
+    for (x0, y0, dx, dy) in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        yield (x0, y0, dx, dy, pw, ph)
+
+
+def _serialize_rows(pixels: bytes, width: int, height: int, spp: int,
+                    interlace: bool) -> bytes:
+    """Pixels -> filtered scanline stream (filter 0), sequential or Adam7."""
+    stride = width * spp
+    raw = bytearray()
+    if not interlace:
+        for y in range(height):
+            raw.append(0)
+            raw += pixels[y * stride:(y + 1) * stride]
+        return bytes(raw)
+    for (x0, y0, dx, dy, pw, ph) in _pass_dims(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        for py in range(ph):
+            raw.append(0)
+            sy = y0 + py * dy
+            for px in range(pw):
+                sx = x0 + px * dx
+                off = (sy * width + sx) * spp
+                raw += pixels[off:off + spp]
+    return bytes(raw)
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3,
+               interlace: bool = False) -> bytes:
+    """8-bit image -> PNG bytes (filter 0 rows, one zlib IDAT; optional
+    Adam7 interlacing).  ``pixels`` is row-major packed samples,
+    len == width*height*channels.  channels: 1=gray, 2=gray+alpha, 3=RGB,
+    4=RGBA."""
     if channels not in (1, 2, 3, 4):
         raise PngError(f"unsupported channel count {channels}")
     if len(pixels) != width * height * channels:
@@ -61,12 +103,9 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    raw = bytearray()
-    stride = width * channels
-    for y in range(height):
-        raw.append(0)  # filter None
-        raw += pixels[y * stride:(y + 1) * stride]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = _serialize_rows(pixels, width, height, channels, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -75,12 +114,38 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
-def _unfilter(data: bytes, width: int, height: int, channels: int) -> bytes:
+def encode_png_palette(width: int, height: int, indices: bytes,
+                       palette: list[tuple[int, int, int]],
+                       trns: list[int] | None = None,
+                       interlace: bool = False) -> bytes:
+    """Indexed-color PNG (color type 3): ``indices`` is one byte per pixel
+    into ``palette`` (RGB triples); ``trns`` optionally gives per-entry
+    alpha (shorter than the palette = remaining entries opaque)."""
+    if len(indices) != width * height:
+        raise PngError("index buffer size mismatch")
+    if not 1 <= len(palette) <= 256 or max(indices) >= len(palette):
+        raise PngError("palette size / index out of range")
+    raw = _serialize_rows(indices, width, height, 1, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0,
+                       1 if interlace else 0)
+    out = _SIG + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def _unfilter(data: bytes, width: int, height: int, channels: int,
+              pos: int = 0) -> tuple[bytes, int]:
+    """Unfilter ``height`` scanlines of ``width``-pixel rows starting at
+    ``pos``; returns (pixels, position after the last row) so interlace
+    passes can share one IDAT stream."""
     bpp = channels
     stride = width * channels
     out = bytearray()
     prev = bytearray(stride)
-    pos = 0
     for _ in range(height):
         if pos >= len(data):
             raise PngError("truncated IDAT")
@@ -112,18 +177,23 @@ def _unfilter(data: bytes, width: int, height: int, channels: int) -> bytes:
         out += row
         prev = row
         pos += 1 + stride
-    return bytes(out)
+    return bytes(out), pos
 
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """PNG bytes -> (width, height, channels, packed 8-bit samples).
-    Non-interlaced 8-bit gray/RGB/RGBA; palette and 16-bit are out of scope."""
+    8-bit gray / gray+alpha / RGB / RGBA / PALETTE (PLTE, optional tRNS ->
+    RGBA), sequential or Adam7-interlaced; 16-bit stays out of scope."""
     if not data.startswith(_SIG):
         raise PngError("missing PNG signature")
     pos = len(_SIG)
     width = height = None
     channels = None
+    ctype = None
+    interlaced = False
     idat = bytearray()
+    plte: bytes = b""
+    trns: bytes = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
@@ -138,13 +208,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             )
             if depth != 8:
                 raise PngError(f"bit depth {depth} out of scope (8 only)")
-            if ctype == 3:
-                raise PngError("palette PNG out of scope")
-            channels = _CHANNELS.get(ctype)
+            channels = 1 if ctype == 3 else _CHANNELS.get(ctype)
             if channels is None:
                 raise PngError(f"color type {ctype} out of scope")
-            if ilace:
-                raise PngError("interlaced PNG out of scope")
+            interlaced = bool(ilace)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise PngError("bad PLTE length")
+            plte = bytes(body)
+        elif tag == b"tRNS":
+            trns = bytes(body)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -156,7 +229,42 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from e
-    return width, height, channels, _unfilter(raw, width, height, channels)
+
+    if not interlaced:
+        px, _ = _unfilter(raw, width, height, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images share the IDAT
+        # stream; scatter each pass into the full-resolution grid
+        out = bytearray(width * height * channels)
+        p = 0
+        for (x0, y0, dx, dy, pw, ph) in _pass_dims(width, height):
+            if pw == 0 or ph == 0:
+                continue
+            sub, p = _unfilter(raw, pw, ph, channels, p)
+            for py in range(ph):
+                sy = y0 + py * dy
+                for pxi in range(pw):
+                    sx = x0 + pxi * dx
+                    src = (py * pw + pxi) * channels
+                    dst = (sy * width + sx) * channels
+                    out[dst:dst + channels] = sub[src:src + channels]
+        px = bytes(out)
+
+    if ctype == 3:  # palette -> RGB, or RGBA when tRNS present
+        if not plte:
+            raise PngError("palette PNG without PLTE")
+        n_entries = len(plte) // 3
+        out_ch = 4 if trns else 3
+        rgb = bytearray(width * height * out_ch)
+        for i, idx in enumerate(px):
+            if idx >= n_entries:
+                raise PngError(f"palette index {idx} out of range")
+            o = i * out_ch
+            rgb[o:o + 3] = plte[3 * idx:3 * idx + 3]
+            if trns:
+                rgb[o + 3] = trns[idx] if idx < len(trns) else 255
+        return width, height, out_ch, bytes(rgb)
+    return width, height, channels, px
 
 
 # --------------------------------------------------------------------------
