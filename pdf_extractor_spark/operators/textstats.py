@@ -561,3 +561,61 @@ def q_sample_hash(spark: SparkSession, sf: str) -> DataFrame:
     return d.filter(nib.isin("0", "1")).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled")
     )
+
+
+@query(
+    "q_bigram_fluency",
+    """
+    WITH grams AS (
+      SELECT doc_id, g
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, length(text)),
+                                         i -> substr(text, CAST(i AS INT), 2)))
+                     AS g
+            FROM documents WHERE length(text) >= 2)),
+    counts AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    scored AS (
+      SELECT gr.doc_id, sum(ct.c) AS fl, count(*) AS n
+      FROM grams gr JOIN counts ct ON gr.g = ct.g
+      GROUP BY gr.doc_id)
+    SELECT doc_id, CAST(fl AS BIGINT) AS fluency_sum,
+           CAST(n AS BIGINT) AS n_bigrams,
+           CAST(fl // n AS BIGINT) AS mean_freq
+    FROM scored
+    """,
+)
+def q_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-fluency scoring — the integer-exact stand-in for a
+    char-LM perplexity filter (the CCNet/Gopher 'remove gibberish' signal):
+    build the corpus-wide character-bigram frequency table in one pass,
+    then score every document by the sum/mean frequency of its bigrams.
+    Gibberish (rare bigrams) scores low, fluent text high; all arithmetic
+    is integer, so Spark and the oracle agree bit-for-bit.
+
+    Plan shape (100 TB): bigram explode -> one groupBy(gram) builds the
+    model; the model is vocabulary-bounded (charset² rows — ~10k for web
+    text after normalization), so scoring BROADCASTS it to a map-side join
+    against the exploded grams and one groupBy(doc) folds the score.  No
+    driver collect; the model table is itself a DataFrame."""
+    d = fan_out(
+        T(spark, sf, "documents").filter(F.length("text") >= 2), "doc_id"
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 1),"
+                   " i -> substring(text, i, 2))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(F.broadcast(counts), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("fl"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "doc_id",
+            F.col("fl").cast("long").alias("fluency_sum"),
+            F.col("n").cast("long").alias("n_bigrams"),
+            F.floor(F.col("fl") / F.col("n")).cast("long").alias("mean_freq"),
+        )
+    )
