@@ -619,3 +619,182 @@ def q_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(F.col("fl") / F.col("n")).cast("long").alias("mean_freq"),
         )
     )
+
+
+@query(
+    "q_paragraph_dedup",
+    # CCNet-style paragraph-level exact dedup: explode documents into
+    # paragraphs (sentence-ish units here: split on '. '), canonicalize,
+    # hash, keep the first (doc_id, position) occurrence corpus-wide.
+    """
+    WITH paras AS (
+      SELECT doc_id, u.p AS para, u.i - 1 AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_transform(string_split(text, '. '),
+                                         (p, i) -> struct_pack(p := p, i := i)))
+                     AS u
+            FROM documents)
+      WHERE trim(u.p) <> ''),
+    hashed AS (
+      SELECT doc_id, pos,
+             md5(lower(regexp_replace(trim(para), '\\s+', ' ', 'g'))) AS h
+      FROM paras),
+    keep AS (
+      SELECT h, min(doc_id * 100000 + pos) AS first_key,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM hashed GROUP BY h)
+    SELECT CAST(k.first_key // 100000 AS BIGINT) AS doc_id,
+           CAST(k.first_key % 100000 AS BIGINT) AS pos,
+           k.h, k.n_copies
+    FROM keep k
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """PARAGRAPH-level exact dedup (the CCNet discipline: boilerplate
+    sentences repeat across pages even when documents differ): explode to
+    paragraph units, canonicalize (lower + whitespace collapse), md5, and
+    keep one canonical (doc, position) survivor per hash corpus-wide.
+
+    Plan shape (100 TB): posexplode is a map; the single shuffle is the
+    hash groupBy — the same one-shuffle profile as doc-level q_dedup_exact,
+    with the composite (doc_id, pos) survivor encoded into one min() so no
+    window function or second shuffle is needed."""
+    d = fan_out(T(spark, sf, "documents"), "doc_id")
+    paras = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    h = F.md5(
+        F.lower(
+            F.regexp_replace(F.trim(F.col("para")), r"\s+", " ")
+        ).cast("binary")
+    )
+    return (
+        paras.select("doc_id", "pos", h.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_key"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select(
+            F.floor(F.col("first_key") / 100000).cast("long").alias("doc_id"),
+            (F.col("first_key") % 100000).cast("long").alias("pos"),
+            "h",
+            "n_copies",
+        )
+    )
+
+
+@query(
+    "q_repetition",
+    # Gopher/MassiveText repetition filters the r2 quality gate lacks:
+    # duplicate-LINE fraction (share of sentence units that repeat within
+    # the doc) and top-bigram fraction (share of word-bigram occurrences
+    # taken by the single most common bigram).  All integer ratios.
+    """
+    WITH units AS (
+      SELECT doc_id, trim(u) AS u
+      FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS u
+            FROM documents)
+      WHERE trim(u) <> ''),
+    line_stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) - count(DISTINCT u) AS BIGINT) AS n_dup_lines
+      FROM units GROUP BY doc_id),
+    words AS (
+      SELECT doc_id, w, CAST(i AS BIGINT) AS i
+      FROM (SELECT doc_id,
+                   unnest(list_transform(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     (w, i) -> struct_pack(w := w, i := i))) AS s
+            FROM documents WHERE trim(text) <> '') t(doc_id, s),
+           LATERAL (SELECT s.w AS w, s.i AS i)
+      ),
+    bigrams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS bg
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    bg_stats AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+             CAST(max(cnt) AS BIGINT) AS top_bigram_n
+      FROM (SELECT doc_id, bg, count(*) AS cnt
+            FROM bigrams GROUP BY doc_id, bg)
+      GROUP BY doc_id)
+    SELECT l.doc_id, l.n_lines, l.n_dup_lines,
+           coalesce(g.n_bigrams, 0) AS n_bigrams,
+           coalesce(g.top_bigram_n, 0) AS top_bigram_n,
+           CASE WHEN l.n_dup_lines * 2 > l.n_lines
+                  OR coalesce(g.top_bigram_n, 0) * 5 > coalesce(g.n_bigrams, 1)
+                THEN 'repetitive' ELSE 'ok' END AS verdict
+    FROM line_stats l LEFT JOIN bg_stats g ON l.doc_id = g.doc_id
+    """,
+)
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repetition filters (Gopher §A1.3: duplicate-line fraction, top
+    n-gram fraction) — the quality rules that catch templated/spun pages
+    which length/stopword stats miss.  Flags a doc when >50% of its
+    sentence units repeat or one word-bigram takes >20% of all bigram
+    slots.  All per-doc integer arithmetic: ZERO cross-doc state, so at
+    100 TB this is a pure map after the per-doc aggregations, and the only
+    shuffles are the per-doc groupBys on the corpus partition key.
+
+    ARRAY-NATIVE: sentence units and bigram counts are per-row higher-order
+    folds — no explode of the token stream ships through a shuffle."""
+    d = fan_out(
+        T(spark, sf, "documents"), "doc_id"
+    )
+    units = F.filter(
+        F.transform(F.split(F.col("text"), r"\. "), lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    with_cols = d.select(
+        "doc_id", units.alias("units"), bigrams.alias("bgs")
+    )
+    # per-row distinct/count folds (aggregate over the arrays);
+    # top-bigram via a groupBy inside the doc would shuffle — instead sort
+    # the bigram array and fold the longest equal run (same value, pure JVM)
+    sorted_bgs = F.array_sort(F.col("bgs"))
+    run_fold = F.aggregate(
+        sorted_bgs,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+    )["best"]
+    n_lines = F.size("units").cast("long")
+    n_dup = (F.size("units") - F.size(F.array_distinct("units"))).cast("long")
+    n_bg = F.size("bgs").cast("long")
+    top_bg = F.coalesce(run_fold, F.lit(0)).cast("long")
+    return with_cols.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_dup.alias("n_dup_lines"),
+        n_bg.alias("n_bigrams"),
+        top_bg.alias("top_bigram_n"),
+        F.when(
+            (n_dup * 2 > n_lines)
+            | (top_bg * 5 > F.greatest(n_bg, F.lit(1).cast("long"))),
+            "repetitive",
+        ).otherwise("ok").alias("verdict"),
+    )
