@@ -80,10 +80,10 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v4: round-3 corpus serializes half the PDFs with Type0/CID fonts and
-    # half the JPEG images as 4:2:0 — the version tag invalidates any stale
+    # v5: round-3 corpus — CID fonts, 4:2:0/progressive/restart JPEGs, and
+    # RC4-encrypted PDFs — the version tag invalidates any stale
     # staged corpus (text goldens are unchanged; payload bytes are not)
-    corpus_path = f"/tmp/bench_corpus_v4_{N_EXTRACT}"
+    corpus_path = f"/tmp/bench_corpus_v5_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

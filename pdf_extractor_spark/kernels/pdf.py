@@ -32,6 +32,7 @@ Deterministic: pure function of the input bytes.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = ["parse_pdf", "PdfError"]
@@ -954,11 +955,18 @@ class _CidDecoder:
 
     def __call__(self, b: bytes) -> str:
         w = self.width
-        out: list[str] = []
-        for i in range(0, len(b) - w + 1, w):
-            out.append(self.cmap.get(int.from_bytes(b[i:i + w], "big"),
-                                     "�"))
-        return "".join(out)
+        if w == 2:
+            # one struct.unpack for the whole string beats per-code
+            # int.from_bytes — CID text decode is on the corpus hot path
+            n = len(b) // 2
+            codes = struct.unpack(f">{n}H", b[:2 * n])
+        else:
+            codes = (
+                int.from_bytes(b[i:i + w], "big")
+                for i in range(0, len(b) - w + 1, w)
+            )
+        get = self.cmap.get
+        return "".join(get(c, "�") for c in codes)
 
 
 def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:

@@ -637,14 +637,20 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
     elif r < 0.90:
         kind = "pdf"
         # Half the PDFs use the PDF 1.5 dialect (xref/object streams, mixed
-        # filters) and, orthogonally, half use the composite-font dialect
+        # filters); orthogonally half use the composite-font dialect
         # (Type0/Identity-H + ToUnicode CMap, hex CID strings) — all four
-        # serialization combos appear.  Both choices key off doc_id (not rng
+        # serialization combos appear.  One in 16 is additionally
+        # ENCRYPTED (standard security handler, RC4-128) so decryption
+        # runs in the real extraction pipeline, not just in gates — the
+        # share is bounded because pure-Python RC4 over image payloads
+        # costs ~8 ms/doc (the q_pdf_encrypted gate covers all four
+        # variants densely).  Every choice keys off doc_id (not rng
         # draws), so document TEXT is unchanged vs the classic-only corpus.
         payload, page_lines = make_pdf(
             rng, doc_id,
             dialect="modern" if doc_id % 2 else "classic",
             font="cid" if doc_id % 4 >= 2 else "simple",
+            encrypt="rc4-128" if doc_id % 16 == 5 else None,
         )
         n_pages = len(page_lines)
     else:

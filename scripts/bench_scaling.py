@@ -50,8 +50,8 @@ N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "200000"))
 GEN_PARTS = 64
 ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
 RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "2"))
-# v4: round-3 generator content (CID-font PDFs, 4:2:0 JPEG images)
-CORPUS = f"/tmp/scale_corpus_v4_{N_DOCS}"
+# v5: round-3 generator content (CID fonts, 420/progressive JPEG, RC4-encrypted PDFs)
+CORPUS = f"/tmp/scale_corpus_v5_{N_DOCS}"
 OUT = "/tmp/scale_out"
 SIZES = [4, 8, 16]  # N, 2N, 4N
 
