@@ -46,6 +46,14 @@ AUDITS = [
      "note": "map-only encrypt+decrypt+parse gate; single final-agg exchange"}),
     ("q_jpeg_420", {"arrow_python": True, "max_exchanges": 1,
      "note": "map-only 4:2:0 encode/decode gate; single final-agg exchange"}),
+    ("q_jpeg_progressive", {"arrow_python": True, "max_exchanges": 1,
+     "note": "map-only SOF2 multi-scan codec gate; single final-agg exchange"}),
+    ("q_bigram_fluency", {"broadcast": True,
+     "note": "vocabulary-bounded bigram model BROADCASTS to the scoring join — the exploded gram stream never shuffles for the join, only for the model build and the per-doc fold"}),
+    ("q_repetition", {"absent": "Generate", "max_exchanges": 1,
+     "note": "duplicate-line and top-bigram stats as per-row array folds (sorted-run fold finds the modal bigram) — no token explode; the only exchange is the CPU fan-out repartition"}),
+    ("q_paragraph_dedup", {"max_exchanges": 2,
+     "note": "paragraph explode is a map; exchanges = fan-out + the single hash groupBy (survivor encoded into one min(), no window)"}),
     ("q_dedup_verify", {
      "note": "Jaccard verify joins run only on LSH-candidate pairs — the bucket-scoped composition; overlap is per-row array_intersect"}),
     ("q_fingerprint", {"max_exchanges": 0, "absent": "Window",
