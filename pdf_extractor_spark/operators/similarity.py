@@ -135,7 +135,7 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _plane_coefs() -> list[list[float]]:
+def _plane_coefs(n_planes: int = _PLANES) -> list[list[float]]:
     """Deterministic hyperplane coefficients: coef(h, dim) = first md5 nibble
     of "h:dim" minus 7.5 — the exact function the DuckDB oracle states, so
     Python can inline them as literals (hashlib.md5 == SQL md5)."""
@@ -144,7 +144,7 @@ def _plane_coefs() -> list[list[float]]:
             int(hashlib.md5(f"{h}:{dim}".encode()).hexdigest()[0], 16) - 7.5
             for dim in range(1, _DIM + 1)
         ]
-        for h in range(_PLANES)
+        for h in range(n_planes)
     ]
 
 
@@ -640,4 +640,155 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= 3)
         .select("q_id", F.col("rn").cast("long").alias("rn"), "cand_id")
+    )
+
+
+@query(
+    "q_ann_recall",
+    "WITH "
+    + _DIMS_SQL
+    + f""",
+  truth AS (
+    SELECT vec_a, vec_b FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(sum(a.v * b.v) / (na.nrm * nb.nrm), 6) AS cos
+      FROM dims a
+      JOIN dims b ON a.dim = b.dim AND a.vec_id < b.vec_id
+                 AND a.vec_id < {COSINE_CAP} AND b.vec_id < {COSINE_CAP}
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm)
+    WHERE cos >= 0.25),
+  planes AS (
+    SELECT h, dim,
+           strpos('0123456789abcdef',
+                  substr(md5(CAST(h AS VARCHAR) || ':' || CAST(dim AS VARCHAR)),
+                         1, 1)) - 1 - 7.5 AS coef
+    FROM range(0, {2 * _PLANES}) p(h), range(1, 65) d(dim)),
+  buckets AS (
+    SELECT vec_id, string_agg(bit, '' ORDER BY h) AS bucket FROM (
+      SELECT d.vec_id, p.h,
+             CASE WHEN round(sum(p.coef * d.v), 6) > 0 THEN '1' ELSE '0' END AS bit
+      FROM dims d JOIN planes p ON d.dim = p.dim
+      WHERE d.vec_id < {COSINE_CAP}
+      GROUP BY d.vec_id, p.h)
+    GROUP BY vec_id),
+  found_single AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON substr(a.bucket, 1, {_PLANES}) = substr(b.bucket, 1, {_PLANES})
+     AND a.vec_id < b.vec_id),
+  bands AS (
+    SELECT vec_id, band, substr(bucket, band * 4 + 1, 4) AS key
+    FROM buckets, range(0, 4) r(band)),
+  found_banded AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT count(*) FROM truth t
+               JOIN found_single f USING (vec_a, vec_b)) AS BIGINT)
+           AS n_single,
+         round(CAST((SELECT count(*) FROM truth t
+                     JOIN found_single f USING (vec_a, vec_b)) AS DOUBLE)
+               / greatest((SELECT count(*) FROM truth), 1), 6)
+           AS recall_single,
+         CAST((SELECT count(*) FROM truth t
+               JOIN found_banded f USING (vec_a, vec_b)) AS BIGINT)
+           AS n_banded,
+         round(CAST((SELECT count(*) FROM truth t
+                     JOIN found_banded f USING (vec_a, vec_b)) AS DOUBLE)
+               / greatest((SELECT count(*) FROM truth), 1), 6)
+           AS recall_banded
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-quality EVALUATION: recall of two LSH index shapes against
+    brute-force cosine ground truth (pairs >= 0.25, COSINE_CAP window) —
+    the measurement that turns 'we have an ANN index' into 'we know what
+    it misses', and the driver-verified form of the LSH banding trade:
+
+    * single-table (all 8 sign bits must agree — q_ann_lsh's shape):
+      high-precision candidate generation, recall ~(1 - theta/pi)^8 — a
+      few percent at this LOW similarity threshold, by design;
+    * banded (16 planes as 4 bands x 4 bits, match ANY band — the
+      minhash-LSH discipline): recall 1-(1-p^4)^4, an order of magnitude
+      higher for the same per-row index cost.
+
+    Plan: ground truth is the capped all-pairs fold (the evaluation
+    window only — never the full corpus); both index shapes are per-row
+    literal-plane projections; band candidates explode to just 4 rows per
+    vector before the bucket join.  Counts are integers, so the recall
+    ratios divide identically on both engines."""
+    e = _emb(spark, sf).filter(F.col("vec_id") < COSINE_CAP)
+    a = e.select(F.col("vec_id").alias("vec_a"),
+                 F.col("embedding").alias("emb_a"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"),
+                 F.col("embedding").alias("emb_b"), F.col("nrm").alias("nb"))
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6
+    )
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.25)
+        .select("vec_a", "vec_b")
+    )
+    bits = [
+        F.when(
+            F.round(
+                dot(F.col("embedding"), F.array(*[F.lit(c) for c in coefs])), 6
+            ) > 0,
+            "1",
+        ).otherwise("0")
+        for coefs in _plane_coefs(2 * _PLANES)
+    ]
+    buckets = e.select("vec_id", F.concat(*bits).alias("bucket"))
+
+    fa = buckets.select(F.col("vec_id").alias("vec_a"),
+                        F.substring("bucket", 1, _PLANES).alias("ka"))
+    fb = buckets.select(F.col("vec_id").alias("vec_b"),
+                        F.substring("bucket", 1, _PLANES).alias("kb"))
+    found_single = fa.join(
+        fb, (F.col("ka") == F.col("kb")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("vec_a", "vec_b")
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"),
+                 F.substring("bucket", i * 4 + 1, 4).alias("key"))
+        for i in range(4)
+    ]
+    bands = buckets.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"),
+             F.col("bb.key").alias("key"))
+    ba = bands.select(F.col("vec_id").alias("vec_a"), "band", "key")
+    bb2 = bands.select(F.col("vec_id").alias("vec_b"),
+                       F.col("band").alias("band2"),
+                       F.col("key").alias("key2"))
+    found_banded = (
+        ba.join(bb2, (F.col("band") == F.col("band2"))
+                & (F.col("key") == F.col("key2"))
+                & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+    t_agg = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    s_agg = truth.join(found_single, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_single"))
+    b_agg = truth.join(found_banded, ["vec_a", "vec_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_banded"))
+    return (
+        t_agg.crossJoin(s_agg).crossJoin(b_agg).select(
+            "n_truth",
+            "n_single",
+            F.round(F.col("n_single").cast("double")
+                    / F.greatest(F.col("n_truth"), F.lit(1).cast("long")),
+                    6).alias("recall_single"),
+            "n_banded",
+            F.round(F.col("n_banded").cast("double")
+                    / F.greatest(F.col("n_truth"), F.lit(1).cast("long")),
+                    6).alias("recall_banded"),
+        )
     )
