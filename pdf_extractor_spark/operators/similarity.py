@@ -189,7 +189,14 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     >= 0.25 confirms.  The bucket bit rounds the dot product (round 6)
     before the sign test so a hyperplane product within an ulp of zero
     cannot flip the bit on one engine only.  This is the scale path: cost
-    ∝ bucket sizes, not N²."""
+    ∝ bucket sizes, not N².
+
+    Full-bucket equality is the HIGH-PRECISION end of the LSH dial —
+    q_ann_recall MEASURES what it misses (recall ~(1-θ/π)^8, a few
+    percent at low similarity thresholds) and shows the banded
+    alternative (4 bands × 4 bits, match any band) recovering ~28-50×
+    the recall for the same per-row cost; band width is the tuning knob,
+    exactly as in the MinHash dedup family."""
     e = _emb(spark, sf)
     bits = [
         F.when(
