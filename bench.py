@@ -51,12 +51,32 @@ BENCH_QUERIES = [
 # Extraction throughput corpus size (docs) per bench run.
 N_EXTRACT = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "16000"))
 
+# load1 above this at bench START (before any Spark work) means some OTHER
+# process owns the box and timings will be contention-contaminated; the
+# emitted JSON self-flags so a slower round is distinguishable from a
+# regression without after-the-fact narrative (VERDICT r3 "what's wrong" #2).
+LOAD_FLAG_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_FLAG", "4.0"))
+
+
+def read_loadavg() -> dict:
+    """One /proc/loadavg sample: 1/5/15-min load + runnable/total procs."""
+    parts = Path("/proc/loadavg").read_text().split()
+    running, total = parts[3].split("/")
+    return {
+        "load1": float(parts[0]),
+        "load5": float(parts[1]),
+        "load15": float(parts[2]),
+        "runnable": int(running),
+        "procs": int(total),
+    }
+
 
 def main() -> None:
     from pdf_extractor_spark.session import get_spark
     from pdf_extractor_spark.operators import registry
     import __spark_entry__ as entry_mod  # populates registry
 
+    load_before = read_loadavg()  # sampled BEFORE any Spark work: external load
     spark = get_spark(cores=CPUS, app="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -125,6 +145,7 @@ def main() -> None:
     total = round(sum(queries.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    load_after = read_loadavg()
     print(json.dumps({
         "metric": "bench_total",
         "value": total,
@@ -135,6 +156,13 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "n_extract_docs": N_EXTRACT,
         "cpus": CPUS,
+        # provenance: external host load at start (before Spark spun up) and
+        # at end (includes our own executors' tail).  contended=true means
+        # the box was NOT ours at start — treat timings as upper bounds.
+        "load_before": load_before,
+        "load_after": load_after,
+        "contended": load_before["load1"] > LOAD_FLAG_THRESHOLD,
+        "load_flag_threshold": LOAD_FLAG_THRESHOLD,
     }))
     spark.stop()
 

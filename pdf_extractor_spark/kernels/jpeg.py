@@ -335,8 +335,13 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
                 br.sync_restart(unit_idx // restart_interval - 1)
                 st.reset()
 
-        if ns == 1 and (progressive or len(comps) == 1):
-            # non-interleaved scan: raster over the component's TRUE grid
+        if ns == 1:
+            # Non-interleaved scan: raster over the component's TRUE grid,
+            # one data unit per MCU (T.81 A.2.2).  This applies to baseline
+            # Ns=1 scans in multi-component files too — a per-component
+            # baseline scan must NOT walk the padded interleaved MCU grid
+            # (h*v blocks per MCU), which would decode the wrong blocks for
+            # any subsampled component and desync the Huffman stream.
             ci = by_id[scan_comps[0]["id"]]
             sc = scan_comps[0]
             comp = comps[ci]
@@ -350,8 +355,11 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, int, bytes]:
                         _decode_block_dc(br, st, ci, dc_tabs.get(sc["dc"]),
                                          zz, ah, al)
                     elif ss == 0:
-                        _decode_block_full(br, st, ci, dc_tabs.get(sc["dc"]),
-                                           ac_tabs.get(sc["ac"]), zz)
+                        dc_t = dc_tabs.get(sc["dc"])
+                        ac_t = ac_tabs.get(sc["ac"])
+                        if dc_t is None or ac_t is None or qt.get(comp["tq"]) is None:
+                            raise JpegError("missing table for scan component")
+                        _decode_block_full(br, st, ci, dc_t, ac_t, zz)
                     elif ah == 0:
                         _decode_block_ac_first(br, st, ac_tabs.get(sc["ac"]),
                                                zz, ss, se, al)

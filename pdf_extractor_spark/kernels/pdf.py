@@ -535,10 +535,11 @@ class Document:
     def _setup_decryption(self) -> None:
         """Validate the /Encrypt dict (standard handler, empty user
         password) and derive the file key.  RC4-40 (V1/R2), RC4-128
-        (V2/R3) and AES-128 (V4/R4 /AESV2) are in dialect; anything else —
-        other handlers, V5/AES-256, a non-empty user password — raises
-        PdfError and error-routes (the reference opens these via MuPDF
-        prompts; a batch pipeline cannot)."""
+        (V2/R3), AES-128 (V4/R4 /AESV2) and AES-256 (V5 R5/R6 /AESV3,
+        via ``_setup_v5``) are all in dialect; anything else — non-Standard
+        handlers (pubkey), a non-empty user password — raises PdfError and
+        error-routes (the reference opens these via MuPDF prompts; a batch
+        pipeline cannot)."""
         import hashlib
 
         enc = self.resolve(self.trailer.get(Name("Encrypt")))
@@ -811,13 +812,26 @@ _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 _EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
 
 
+# inline-image /CS (ColorSpace) → component count, abbreviated and full
+# names (PDF 32000-1 Table 94); Indexed / /I is 1 index component per pixel
+_INLINE_CS_COMPS = {
+    "G": 1, "DeviceGray": 1, "RGB": 3, "DeviceRGB": 3,
+    "CMYK": 4, "DeviceCMYK": 4, "I": 1, "Indexed": 1,
+}
+
+
 def _skip_inline_image(lx: _Lexer) -> None:
     """Skip a BI ... ID <binary> EI inline image (PDF 32000-1 §8.9.7): the
-    key/value dict parses with the normal lexer, the binary payload scans to
-    a whitespace-delimited EI.  The text path ignores inline images (like
-    the reference's get_text), but must not let their raw bytes derail the
+    key/value dict parses with the normal lexer.  For UNFILTERED payloads
+    the exact data length is computed from /W /H /BPC /CS (rows are
+    byte-padded, §8.9.5.2), so raw bytes that happen to contain
+    whitespace+'EI' cannot truncate the image; the whitespace-delimited EI
+    scan remains the path for filtered payloads (whose length the dict
+    doesn't determine).  The text path ignores inline images (like the
+    reference's get_text), but must not let their raw bytes derail the
     operator stream."""
     data = lx.data
+    kv: list[object] = []
     while True:
         lx._skip_ws()
         if data.startswith(b"ID", lx.pos):
@@ -825,9 +839,35 @@ def _skip_inline_image(lx: _Lexer) -> None:
             break
         if lx.pos >= len(data):
             raise PdfError("inline image without ID")
-        lx.parse_object()
+        kv.append(lx.parse_object())
     if lx.pos < len(data) and data[lx.pos] in _WS:
         lx.pos += 1  # single whitespace after ID
+    params = {
+        str(k): v for k, v in zip(kv[::2], kv[1::2]) if isinstance(k, Name)
+    }
+    has_filter = "F" in params or "Filter" in params
+    if not has_filter:
+        w = params.get("W", params.get("Width"))
+        h = params.get("H", params.get("Height"))
+        if params.get("IM", params.get("ImageMask")) is True:
+            bpc, comps = 1, 1
+        else:
+            bpc = params.get("BPC", params.get("BitsPerComponent"))
+            cs = params.get("CS", params.get("ColorSpace"))
+            comps = _INLINE_CS_COMPS.get(str(cs)) if isinstance(cs, Name) else None
+        if isinstance(w, int) and isinstance(h, int) and isinstance(bpc, int) \
+                and comps is not None and w >= 0 and h >= 0:
+            n = h * ((w * comps * bpc + 7) // 8)  # byte-padded rows
+            end = lx.pos + n
+            if end <= len(data):
+                m = _EI_RE.match(data, end)
+                if m:
+                    lx.pos = m.end()
+                    return
+                if data.startswith(b"EI", end):  # writer omitted whitespace
+                    lx.pos = end + 2
+                    return
+            # inconsistent dict vs data: fall through to the EI scan
     m = _EI_RE.search(data, lx.pos)
     if not m:
         raise PdfError("unterminated inline image")

@@ -121,6 +121,8 @@ def encode_png_palette(width: int, height: int, indices: bytes,
     """Indexed-color PNG (color type 3): ``indices`` is one byte per pixel
     into ``palette`` (RGB triples); ``trns`` optionally gives per-entry
     alpha (shorter than the palette = remaining entries opaque)."""
+    if width <= 0 or height <= 0:
+        raise PngError("zero-area image")
     if len(indices) != width * height:
         raise PngError("index buffer size mismatch")
     if not 1 <= len(palette) <= 256 or max(indices) >= len(palette):

@@ -640,11 +640,11 @@ def q_bigram_fluency(spark: SparkSession, sf: str) -> DataFrame:
              md5(lower(regexp_replace(trim(para), '\\s+', ' ', 'g'))) AS h
       FROM paras),
     keep AS (
-      SELECT h, min(doc_id * 100000 + pos) AS first_key,
+      SELECT h, min(doc_id * 4294967296 + pos) AS first_key,
              CAST(count(*) AS BIGINT) AS n_copies
       FROM hashed GROUP BY h)
-    SELECT CAST(k.first_key // 100000 AS BIGINT) AS doc_id,
-           CAST(k.first_key % 100000 AS BIGINT) AS pos,
+    SELECT CAST(k.first_key // 4294967296 AS BIGINT) AS doc_id,
+           CAST(k.first_key % 4294967296 AS BIGINT) AS pos,
            k.h, k.n_copies
     FROM keep k
     """,
@@ -658,7 +658,11 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Plan shape (100 TB): posexplode is a map; the single shuffle is the
     hash groupBy — the same one-shuffle profile as doc-level q_dedup_exact,
     with the composite (doc_id, pos) survivor encoded into one min() so no
-    window function or second shuffle is needed."""
+    window function or second shuffle is needed.  The encoding is
+    doc_id * 2^32 + pos, exact in int64 while doc_id < 2^31 and
+    pos < 2^32 — posexplode positions are 32-bit ints by construction, and
+    a corpus with >= 2^31 documents would shard on a doc_id prefix long
+    before this query sees it (bounds documented, not merely assumed)."""
     d = fan_out(T(spark, sf, "documents"), "doc_id")
     paras = d.select(
         "doc_id",
@@ -673,12 +677,15 @@ def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
         paras.select("doc_id", "pos", h.alias("h"))
         .groupBy("h")
         .agg(
-            F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_key"),
+            F.min(
+                F.col("doc_id") * F.lit(4294967296) + F.col("pos")
+            ).alias("first_key"),
             F.count(F.lit(1)).cast("long").alias("n_copies"),
         )
         .select(
-            F.floor(F.col("first_key") / 100000).cast("long").alias("doc_id"),
-            (F.col("first_key") % 100000).cast("long").alias("pos"),
+            # decode via shifts, not double division (exact beyond 2^53)
+            F.shiftright(F.col("first_key"), 32).cast("long").alias("doc_id"),
+            (F.col("first_key") % 4294967296).cast("long").alias("pos"),
             "h",
             "n_copies",
         )

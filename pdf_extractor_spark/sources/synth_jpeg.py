@@ -126,7 +126,8 @@ def _zz_blocks(p: np.ndarray, bh: int, bw: int) -> np.ndarray:
 def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
                          channels: int = 3,
                          subsampling: str = "444",
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         interleaved: bool = True) -> bytes:
     """8-bit pixels (packed, row-major) -> baseline JPEG bytes.
 
     ``subsampling='444'``: all components 1x1 (one block per MCU each).
@@ -134,7 +135,11 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     box-mean downsampling — the generic-MCU dialect the decoder's
     interleaved path must reassemble.
     ``restart_interval``: emit a DRI segment and an RSTn marker (cycling
-    0-7, predictors reset, 1-padded byte alignment) every N MCUs."""
+    0-7, predictors reset, 1-padded byte alignment) every N MCUs.
+    ``interleaved=False`` (3-channel only): emit one SOS per component,
+    each rastering that component's TRUE block grid one data unit per MCU
+    (T.81 A.2.2 non-interleaved baseline) — the dialect where a decoder
+    that wrongly walks the padded interleaved grid desyncs."""
     if channels not in (1, 3):
         raise ValueError("1 or 3 channels only")
     if len(pixels) != width * height * channels:
@@ -143,6 +148,8 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
         raise ValueError(f"unsupported subsampling {subsampling}")
     if subsampling == "420" and channels != 3:
         raise ValueError("420 needs 3 channels")
+    if not interleaved and restart_interval:
+        raise ValueError("non-interleaved variant does not emit DRI")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
     arr = arr.astype(np.float64)
     if channels == 3:
@@ -196,12 +203,6 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
     out += _dht_segment(0x10, 8, _AC_SYMS)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    # SOS
-    sos = bytes([ncomp])
-    for cid in range(1, ncomp + 1):
-        sos += bytes([cid, 0x00])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
 
     grids = []
     zz_all: list[np.ndarray] = []
@@ -210,46 +211,78 @@ def encode_jpeg_baseline(width: int, height: int, pixels: bytes,
         grids.append((bh, bw_))
         zz_all.append(_zz_blocks(p, bh, bw_))
 
-    bw = _BitWriter()
-    pred = [0] * ncomp
-    mcu_idx = 0
-    for mby in range(mcus_y):
-        for mbx in range(mcus_x):
-            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                bw.flush()
-                out_rst = (mcu_idx // restart_interval - 1) % 8
-                bw.out += b"\xff" + bytes([0xD0 + out_rst])
-                pred = [0] * ncomp
-            mcu_idx += 1
-            for ci in range(ncomp):
-                h, v = sampf[ci]
-                _, bw_blocks = grids[ci]
-                for by in range(v):
-                    for bx in range(h):
-                        bi = (mby * v + by) * bw_blocks + (mbx * h + bx)
-                        zz = zz_all[ci][bi]
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        s = _category(diff)
-                        _put_coeff(bw, _DC_CODES, s, diff, s)
-                        run = 0
-                        nz = np.nonzero(zz[1:])[0]
-                        last_nz = int(nz[-1]) + 1 if len(nz) else 0
-                        for i in range(1, last_nz + 1):
-                            val = int(zz[i])
-                            if val == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                _put_coeff(bw, _AC_CODES, 0xF0, 0, 0)
-                                run -= 16
-                            s = _category(val)
-                            _put_coeff(bw, _AC_CODES, 16 * run + s, val, s)
-                            run = 0
-                        if last_nz < 63:
-                            _put_coeff(bw, _AC_CODES, 0x00, 0, 0)  # EOB
-    bw.flush()
-    out += bw.out
+    hmax = max(h for h, _ in sampf)
+    vmax = max(v for _, v in sampf)
+
+    def emit_block(bw: _BitWriter, zz: np.ndarray, pred_val: int) -> int:
+        diff = int(zz[0]) - pred_val
+        s = _category(diff)
+        _put_coeff(bw, _DC_CODES, s, diff, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last_nz = int(nz[-1]) + 1 if len(nz) else 0
+        for i in range(1, last_nz + 1):
+            val = int(zz[i])
+            if val == 0:
+                run += 1
+                continue
+            while run > 15:
+                _put_coeff(bw, _AC_CODES, 0xF0, 0, 0)
+                run -= 16
+            s = _category(val)
+            _put_coeff(bw, _AC_CODES, 16 * run + s, val, s)
+            run = 0
+        if last_nz < 63:
+            _put_coeff(bw, _AC_CODES, 0x00, 0, 0)  # EOB
+        return int(zz[0])
+
+    if interleaved:
+        # SOS: all components in one interleaved scan
+        sos = bytes([ncomp])
+        for cid in range(1, ncomp + 1):
+            sos += bytes([cid, 0x00])
+        sos += b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        mcu_idx = 0
+        for mby in range(mcus_y):
+            for mbx in range(mcus_x):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    bw.flush()
+                    out_rst = (mcu_idx // restart_interval - 1) % 8
+                    bw.out += b"\xff" + bytes([0xD0 + out_rst])
+                    pred = [0] * ncomp
+                mcu_idx += 1
+                for ci in range(ncomp):
+                    h, v = sampf[ci]
+                    _, bw_blocks = grids[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            bi = (mby * v + by) * bw_blocks + (mbx * h + bx)
+                            pred[ci] = emit_block(bw, zz_all[ci][bi], pred[ci])
+        bw.flush()
+        out += bw.out
+    else:
+        # One SOS per component; each rasters its TRUE block grid (T.81
+        # A.2.2 non-interleaved: one data unit per MCU), NOT the padded
+        # interleaved grid — a fresh DC predictor per scan.
+        for ci in range(ncomp):
+            h, v = sampf[ci]
+            _, bw_blocks = grids[ci]
+            tbw = (-(-width * h // hmax) + 7) // 8
+            tbh = (-(-height * v // vmax) + 7) // 8
+            sos = bytes([1, ci + 1, 0x00]) + b"\x00\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            bw = _BitWriter()
+            pred_val = 0
+            for by in range(tbh):
+                for bx in range(tbw):
+                    pred_val = emit_block(bw, zz_all[ci][by * bw_blocks + bx],
+                                          pred_val)
+            bw.flush()
+            out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -68,6 +68,16 @@ def stage_corpus() -> None:
     spark.stop()
 
 
+def _loadavg() -> dict:
+    """External-load provenance sample (VERDICT r3 'what's wrong' #2): the
+    1/5-min load plus runnable/total process counts, embedded in every
+    child's JSON so a slow round self-explains."""
+    parts = Path("/proc/loadavg").read_text().split()
+    running, total = parts[3].split("/")
+    return {"load1": float(parts[0]), "load5": float(parts[1]),
+            "runnable": int(running), "procs": int(total)}
+
+
 def child(cores: int) -> None:
     from pyspark.sql import functions as F
 
@@ -75,6 +85,7 @@ def child(cores: int) -> None:
     from pdf_extractor_spark.session import get_spark
     from pdf_extractor_spark.sources.pages import corpus_df
 
+    load_before = _loadavg()  # before the JVM spins up: external load only
     out_dir = f"{OUT}_{cores}"
     spark = get_spark(cores=cores, app=f"scale-{cores}", extra={
         # task-side (parallel) commit — the serial job-commit rename pass
@@ -107,7 +118,9 @@ def child(cores: int) -> None:
     n = spark.read.parquet(out_dir).count()
     print(json.dumps({"cores": cores, "wall_s": best, "runs": times,
                       "docs_per_sec": round(N_DOCS / best, 1),
-                      "n_docs": n, "digest": digest}))
+                      "n_docs": n, "digest": digest,
+                      "load_before": load_before,
+                      "load_after": _loadavg()}))
     spark.stop()
 
 

@@ -234,3 +234,29 @@ def test_unsupported_jpeg_modes_error_route():
     data[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(JpegError, match="out of scope"):
         decode_jpeg_baseline(bytes(data))
+
+
+def test_noninterleaved_baseline_equals_interleaved():
+    """Baseline Ns=1 per-component scans (T.81 A.2.2 non-interleaved) must
+    raster the component's TRUE block grid, not the padded interleaved MCU
+    grid — for subsampled components the grids differ, so a decoder that
+    takes the interleaved branch desyncs the Huffman stream (ADVICE r3,
+    kernels/jpeg.py ns==1 branch).  The encoder emits one SOS per component
+    independently; decode must be byte-identical to the interleaved twin."""
+    rng = np.random.default_rng(7)
+    for (w, h, sub) in [(24, 17, "420"), (16, 16, "420"), (19, 13, "444"),
+                        (33, 9, "420")]:
+        px = (rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) // 4 * 4)
+        inter = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, px.tobytes(), 3, sub))
+        nonint = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, px.tobytes(), 3, sub,
+                                 interleaved=False))
+        assert inter == nonint
+
+
+def test_noninterleaved_rejects_restart():
+    img = bytes(8 * 8 * 3)
+    with pytest.raises(ValueError, match="non-interleaved"):
+        encode_jpeg_baseline(8, 8, img, 3, "444", restart_interval=2,
+                             interleaved=False)

@@ -381,3 +381,29 @@ def test_utf16le_string_decode():
 
     assert _decode_pdf_string(b"\xff\xfeh\x00i\x00") == "hi"
     assert _decode_pdf_string(b"\xfe\xff\x00h\x00i") == "hi"
+
+
+def test_inline_image_payload_containing_ei_pattern():
+    """An UNFILTERED inline image whose raw bytes contain whitespace+'EI'
+    must not be truncated: the exact payload length is computed from
+    /W /H /BPC /CS (byte-padded rows, §8.9.5.2) so the embedded pattern is
+    skipped over (ADVICE r3, kernels/pdf.py _skip_inline_image)."""
+    from pdf_extractor_spark.kernels.pdf import _tokenize_content
+
+    payload = b"\nEI \xaa\xbb\xcc\xdd"       # 8 bytes = 4x2 gray 8bpc
+    cs = (b"BT (keep) Tj ET BI /W 4 /H 2 /BPC 8 /CS /G ID "
+          + payload + b"\nEI q Q")
+    ops = [t for k, t in _tokenize_content(cs) if k == "op"]
+    assert ops == ["BT", "Tj", "ET", "q", "Q"]
+
+    # ImageMask: 1 bit/pixel, byte-padded rows (9px -> 2 bytes/row)
+    cs2 = b"BI /IM true /W 9 /H 2 ID " + bytes(4) + b"EI cm"
+    assert [t for k, t in _tokenize_content(cs2) if k == "op"] == ["cm"]
+
+    # filtered payloads keep the delimiter scan (length not dict-derivable)
+    cs3 = b"BI /W 4 /H 2 /BPC 8 /CS /G /F /AHx ID 0011>\nEI q"
+    assert [t for k, t in _tokenize_content(cs3) if k == "op"] == ["q"]
+
+    # inconsistent dict (claims more data than exists) falls back to scan
+    cs4 = b"BI /W 9999 /H 9999 /BPC 8 /CS /RGB ID abc\nEI q"
+    assert [t for k, t in _tokenize_content(cs4) if k == "op"] == ["q"]

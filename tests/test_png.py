@@ -220,3 +220,12 @@ def test_palette_errors():
            + _chunk(b"IDAT", _z.compress(raw)) + _chunk(b"IEND", b""))
     with pytest.raises(PngError, match="index"):
         decode_png(bad)
+
+
+def test_palette_zero_area_raises_png_error():
+    """Empty index buffer must hit the module's PngError contract, not a
+    bare ValueError from max() (ADVICE r3, kernels/png.py)."""
+    from pdf_extractor_spark.kernels.png import encode_png_palette
+
+    with pytest.raises(PngError, match="zero-area"):
+        encode_png_palette(0, 0, b"", [(1, 2, 3)])
