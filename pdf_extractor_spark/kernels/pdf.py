@@ -13,8 +13,9 @@ Scope: the PDF 1.4-1.5 dialects produced by ``tests/gen_fixtures.py`` —
 classic xref tables AND cross-reference streams (/Type /XRef with /W
 field widths, /Index subsections, and PNG predictors), object streams
 (/Type /ObjStm compressed objects), the filter set FlateDecode,
-ASCIIHexDecode, ASCII85Decode, RunLengthDecode (chainable, with
-/DecodeParms predictor support), Latin-1-ish simple fonts AND
+ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode (TIFF-variant
+with /EarlyChange; chainable, with /DecodeParms predictor support),
+Latin-1-ish simple fonts AND
 Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
 bfrange / array-destination bfrange, 1- or 2-byte codespaces), and
 standard-security-handler encryption with an empty user password
@@ -306,6 +307,57 @@ def _ascii85_decode(data: bytes) -> bytes:
             n = n * 85 + g
         out += n.to_bytes(4, "big")[: k - 1]
     return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 32000-1 §7.4.4 — the TIFF variant): MSB-first
+    variable-width codes 9→12 bits, 256=ClearTable, 257=EOD, /EarlyChange
+    (default 1) widens one code early.  Legacy Acrobat-era PDFs use this
+    for content and ToUnicode streams (reference reads them via MuPDF —
+    table_extractor-era fixtures; here it's ~50 lines of spec)."""
+    if early not in (0, 1):
+        raise PdfError(f"LZW: bad EarlyChange {early}")
+    base = [bytes([c]) for c in range(256)] + [b"", b""]  # 256/257 sentinels
+    dic = list(base)
+    width = 9
+    out = bytearray()
+    prev_entry: bytes | None = None
+    acc = nacc = 0
+    i, n = 0, len(data)
+    while True:
+        while nacc < width:
+            if i >= n:
+                return bytes(out)  # data exhausted without EOD: accept (§ note)
+            acc = (acc << 8) | data[i]
+            i += 1
+            nacc += 8
+        nacc -= width
+        code = (acc >> nacc) & ((1 << width) - 1)
+        acc &= (1 << nacc) - 1  # keep the accumulator a small int
+        if code == 256:  # ClearTable
+            dic = list(base)
+            width = 9
+            prev_entry = None
+            continue
+        if code == 257:  # EOD
+            return bytes(out)
+        if prev_entry is None:
+            if code >= len(dic):
+                raise PdfError("LZW: first code not a literal")
+            entry = dic[code]
+        else:
+            if code < len(dic):
+                entry = dic[code]
+            elif code == len(dic):  # the KwKwK case
+                entry = prev_entry + prev_entry[:1]
+            else:
+                raise PdfError("LZW: code out of range")
+            if len(dic) < 4096:
+                dic.append(prev_entry + entry[:1])
+        out += entry
+        prev_entry = entry
+        if width < 12 and len(dic) >= (1 << width) - early:
+            width += 1
 
 
 def _run_length_decode(data: bytes) -> bytes:
@@ -781,6 +833,13 @@ class Document:
                 data = _ascii85_decode(data)
             elif f == "RunLengthDecode":
                 data = _run_length_decode(data)
+            elif f == "LZWDecode":
+                early = 1
+                if isinstance(p, dict):
+                    ec = self.resolve(p.get(Name("EarlyChange"), 1))
+                    early = ec if isinstance(ec, int) else 1
+                data = _lzw_decode(data, early)
+                data = self._unpredict(data, p)
             elif f in ("DCTDecode", "JPXDecode"):
                 # compressed image payload — pass through as-is
                 return data

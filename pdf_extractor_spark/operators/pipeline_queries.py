@@ -189,7 +189,8 @@ _DIALECT_TOTAL_PAGES = 268  # generator spec: sum of planned page counts
     "q_pdf_dialects",
     # Structural (non-circular) oracle: parsing the SAME document serialized
     # as classic PDF 1.4 and as modern PDF 1.5 (xref stream + ObjStm + mixed
-    # ASCIIHex/ASCII85/RunLength/Flate filters) must yield byte-identical
+    # ASCIIHex/ASCII85/RunLength/Flate/LZW filters, LZW in both /EarlyChange
+    # modes) must yield byte-identical
     # text and page structure; total pages comes from the generator's page
     # plan, not from the parser.
     f"""

@@ -215,6 +215,55 @@ def _rle_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Forward TIFF-variant LZW (PDF 32000-1 §7.4.4): MSB-first 9→12-bit
+    codes, ClearTable emitted at start and on table-full, EOD at end,
+    ``early`` mirroring /EarlyChange.  Forward direction only — the parser
+    side (kernels/pdf.py _lzw_decode) is an independent inverse
+    implementation (generator/parser honesty rule)."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1
+
+    dic = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in dic:
+            w = wc
+            continue
+        emit(dic[w], width)
+        dic[wc] = next_code
+        next_code += 1
+        # the decoder's dict trails by one entry; it widens before reading
+        # our NEXT code once its size reaches (1<<width) - early
+        if width < 12 and next_code - 1 >= (1 << width) - early:
+            width += 1
+        if next_code >= 4095:  # table full: clear and restart
+            emit(256, width)
+            dic = {bytes([c]): c for c in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(dic[w], width)
+    emit(257, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _png_up_predict(data: bytes, rowlen: int) -> bytes:
     """PNG Up (tag 2) per-row filter for xref-stream /Predictor 12."""
     out = bytearray()
@@ -233,7 +282,7 @@ def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes
     import base64
     import binascii
 
-    choice = enc_rng.randrange(5)
+    choice = enc_rng.randrange(7)
     if choice == 0:
         return b"/Filter /FlateDecode", zlib.compress(content, 6)
     if choice == 1:
@@ -242,6 +291,13 @@ def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes
         return b"/Filter /ASCII85Decode", base64.a85encode(content) + b"~>"
     if choice == 3:
         return b"/Filter /RunLengthDecode", _rle_encode(content)
+    if choice == 4:
+        return b"/Filter /LZWDecode", _lzw_encode(content)
+    if choice == 5:  # non-default /EarlyChange exercises the DecodeParms path
+        return (
+            b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+            _lzw_encode(content, early=0),
+        )
     # chain: decoder runs ASCII85 then Flate
     return (
         b"/Filter [/ASCII85Decode /FlateDecode]",
@@ -259,7 +315,8 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     ``dialect='modern'``: PDF 1.5 — cross-reference STREAM (optionally with
     PNG /Predictor 12), all non-stream objects packed into a /Type /ObjStm
     object stream, and content streams encoded with a per-stream filter mix
-    (Flate / ASCIIHex / ASCII85 / RunLength / ASCII85+Flate chain).  The
+    (Flate / ASCIIHex / ASCII85 / RunLength / LZW with both /EarlyChange
+    modes / ASCII85+Flate chain).  The
     encoding choices draw from a SEPARATE seeded rng so the document text is
     byte-identical across dialects — only the serialization layer differs.
 
