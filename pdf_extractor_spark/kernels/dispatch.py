@@ -108,6 +108,7 @@ def extract_document(payload: bytes) -> dict:
                     tokenizer.normalize_text(pg["text"]),
                     blocks=[_unify_pdf_block(b) for b in pg["blocks"]],
                     images=[_unify_image(i) for i in pg["images"]],
+                    tables=pg["tables"],
                 )
                 for pg in r["pages"]
             ]

@@ -1068,11 +1068,125 @@ class _CidDecoder:
         return "".join(get(c, "�") for c in codes)
 
 
+def _parse_truetype_cmap(data: bytes) -> dict[int, str]:
+    """Embedded TrueType font program (sfnt) -> {glyph id: unicode char}.
+
+    Implements the OpenType ``cmap`` format-4 LOOKUP semantics (walk every
+    segment's code range; idDelta arithmetic when idRangeOffset == 0, else
+    the glyphIdArray word at idRangeOffset[i]-slot + offset + 2*(c-start))
+    and inverts it.  Subtable preference: (3,1) windows-unicode, then (0,*)
+    legacy unicode, then (3,10) UCS-4.  Non-format-4 subtables and fonts
+    without a usable unicode cmap error-route via PdfError — honest refusal
+    beats silently wrong text."""
+    if len(data) < 12:
+        raise PdfError("FontFile2: truncated sfnt")
+    num_tables = struct.unpack(">H", data[4:6])[0]
+    cmap_off = None
+    for i in range(num_tables):
+        rec = data[12 + 16 * i:12 + 16 * i + 16]
+        if len(rec) < 16:
+            raise PdfError("FontFile2: truncated table directory")
+        if rec[:4] == b"cmap":
+            cmap_off = struct.unpack(">I", rec[8:12])[0]
+            break
+    if cmap_off is None or cmap_off + 4 > len(data):
+        raise PdfError("FontFile2: no cmap table")
+    n_sub = struct.unpack(">H", data[cmap_off + 2:cmap_off + 4])[0]
+    subs: dict[tuple[int, int], int] = {}
+    for i in range(n_sub):
+        rec = data[cmap_off + 4 + 8 * i:cmap_off + 4 + 8 * i + 8]
+        if len(rec) < 8:
+            raise PdfError("FontFile2: truncated cmap encoding records")
+        pid, eid, off = struct.unpack(">HHI", rec)
+        subs[(pid, eid)] = cmap_off + off
+    pick = None
+    for want in ((3, 1),) + tuple((0, e) for e in range(7)) + ((3, 10),):
+        if want in subs:
+            pick = subs[want]
+            break
+    if pick is None:
+        raise PdfError("FontFile2: no unicode cmap subtable")
+    fmt = struct.unpack(">H", data[pick:pick + 2])[0]
+    if fmt != 4:
+        raise PdfError(f"FontFile2: unsupported cmap format {fmt}")
+    seg_x2 = struct.unpack(">H", data[pick + 6:pick + 8])[0]
+    seg_count = seg_x2 // 2
+    p = pick + 14
+    end_codes = struct.unpack(f">{seg_count}H", data[p:p + seg_x2])
+    p += seg_x2 + 2  # + reservedPad
+    start_codes = struct.unpack(f">{seg_count}H", data[p:p + seg_x2])
+    p += seg_x2
+    id_deltas = struct.unpack(f">{seg_count}H", data[p:p + seg_x2])
+    p += seg_x2
+    iro_base = p
+    id_range_offsets = struct.unpack(f">{seg_count}H", data[p:p + seg_x2])
+    inv: dict[int, str] = {}
+    for i in range(seg_count):
+        s, e = start_codes[i], end_codes[i]
+        if s == 0xFFFF:
+            continue  # terminator segment maps nothing
+        for c in range(s, min(e, 0xFFFE) + 1):
+            if id_range_offsets[i] == 0:
+                gid = (c + id_deltas[i]) & 0xFFFF
+            else:
+                gpos = iro_base + 2 * i + id_range_offsets[i] + 2 * (c - s)
+                if gpos + 2 > len(data):
+                    raise PdfError("FontFile2: glyphIdArray out of bounds")
+                gid = struct.unpack(">H", data[gpos:gpos + 2])[0]
+                if gid:
+                    gid = (gid + id_deltas[i]) & 0xFFFF
+            if gid:
+                inv.setdefault(gid, chr(c))
+    if not inv:
+        raise PdfError("FontFile2: cmap maps no glyphs")
+    return inv
+
+
+def _type0_fontfile_cmap(doc: "Document", fd: dict, fname) -> dict[int, str]:
+    """Type0 WITHOUT /ToUnicode: recover cid -> unicode by inverting the
+    embedded TrueType program's cmap (the route real subsetted PDFs force;
+    VERDICT.md round-3 'What's missing' #3).  Requires an Identity encoding
+    (code == CID); /CIDToGIDMap may be /Identity or an explicit 2-byte map
+    stream.  Anything else error-routes."""
+    enc = doc.resolve(fd.get(Name("Encoding")))
+    if enc not in ("Identity-H", "Identity-V"):
+        raise PdfError(
+            f"Type0 font {fname} without /ToUnicode and non-Identity "
+            f"encoding {enc!r} (predefined CMaps are out of dialect)")
+    desc_arr = doc.resolve(fd.get(Name("DescendantFonts")))
+    desc = doc.resolve(desc_arr[0]) if isinstance(desc_arr, list) and desc_arr else None
+    if not isinstance(desc, dict):
+        raise PdfError(f"Type0 font {fname}: missing descendant font")
+    fdesc = doc.resolve(desc.get(Name("FontDescriptor")))
+    ff = doc.resolve(fdesc.get(Name("FontFile2"))) if isinstance(fdesc, dict) else None
+    if not isinstance(ff, Stream):
+        raise PdfError(
+            f"Type0 font {fname} without /ToUnicode CMap or embedded "
+            f"/FontFile2 — no text mapping to extract")
+    gid2uni = _parse_truetype_cmap(doc.stream_data(ff))
+    c2g = doc.resolve(desc.get(Name("CIDToGIDMap")))
+    if isinstance(c2g, Stream):
+        raw = doc.stream_data(c2g)
+        cmap = {}
+        for cid in range(len(raw) // 2):
+            gid = (raw[2 * cid] << 8) | raw[2 * cid + 1]
+            uni = gid2uni.get(gid)
+            if gid and uni is not None:
+                cmap[cid] = uni
+        if not cmap:
+            raise PdfError(f"Type0 font {fname}: empty CIDToGIDMap stream")
+        return cmap
+    if c2g in (None, "Identity"):
+        return gid2uni  # cid == gid under Identity
+    raise PdfError(f"Type0 font {fname}: unsupported CIDToGIDMap {c2g!r}")
+
+
 def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
     """/Resources /Font -> {font name: decoder}.  Simple fonts use the
     default Latin-1 decode (None marker); Type0 fonts decode through their
-    ToUnicode CMap.  A Type0 font WITHOUT /ToUnicode is out of dialect —
-    there is no text mapping to extract — and error-routes via PdfError."""
+    ToUnicode CMap, falling back to the embedded TrueType program's
+    inverted cmap when /ToUnicode is absent.  A Type0 font with NEITHER
+    mapping is out of dialect and error-routes via PdfError."""
     res = doc.resolve(page.get(Name("Resources"))) or {}
     fonts = doc.resolve(res.get(Name("Font"))) or {}
     out: dict[str, object] = {}
@@ -1082,9 +1196,10 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
             continue
         if doc.resolve(fd.get(Name("Subtype"))) == "Type0":
             tu = doc.resolve(fd.get(Name("ToUnicode")))
-            if not isinstance(tu, Stream):
-                raise PdfError(f"Type0 font {fname} without /ToUnicode CMap")
-            cmap, width = _parse_tounicode(doc.stream_data(tu))
+            if isinstance(tu, Stream):
+                cmap, width = _parse_tounicode(doc.stream_data(tu))
+            else:
+                cmap, width = _type0_fontfile_cmap(doc, fd, fname), 2
             out[str(fname)] = _CidDecoder(cmap, width)
         else:
             out[str(fname)] = None
@@ -1206,11 +1321,10 @@ def _extract_runs(content: bytes,
 _Y_TOL = 2.0  # runs within 2 text-space units share a line
 
 
-def _assemble_text(runs: list[dict]) -> tuple[str, list[dict]]:
+def _group_lines(runs: list[dict]) -> list[list[dict]]:
     """Reading-order sort (y desc, x asc — PDF y grows upward) + line
-    grouping: the kernel-side realization of OP-48/OP-39/OP-49."""
-    if not runs:
-        return "", []
+    grouping, each line x-sorted: the shared single pass feeding BOTH text
+    assembly (OP-48/OP-39/OP-49) and table detection (OP-61)."""
     ordered = sorted(runs, key=lambda r: (-r["y"], r["x"]))
     lines: list[list[dict]] = []
     for r in ordered:
@@ -1218,10 +1332,22 @@ def _assemble_text(runs: list[dict]) -> tuple[str, list[dict]]:
             lines[-1].append(r)
         else:
             lines.append([r])
+    for line in lines:
+        line.sort(key=lambda r: r["x"])  # OP-49 x-sort within line
+    return lines
+
+
+def _assemble_text(runs: list[dict]) -> tuple[str, list[dict]]:
+    """Text + block assembly over the grouped lines (OP-48/OP-39/OP-49)."""
+    if not runs:
+        return "", []
+    return _assemble_from_lines(_group_lines(runs))
+
+
+def _assemble_from_lines(lines: list[list[dict]]) -> tuple[str, list[dict]]:
     blocks: list[dict] = []
     out_lines: list[str] = []
     for i, line in enumerate(lines):
-        line.sort(key=lambda r: r["x"])  # OP-49 x-sort within line
         text = "".join(r["text"] for r in line).strip()
         if not text:  # OP-27 non-empty filter
             continue
@@ -1238,6 +1364,109 @@ def _assemble_text(runs: list[dict]) -> tuple[str, list[dict]]:
         })
         out_lines.append(text)
     return "\n".join(out_lines), blocks
+
+
+# --------------------------------------------------------------------------
+# PDF-native table detection (OP-61): x-cluster column alignment over the
+# per-line run stream — the word-cluster discipline pdfplumber's text
+# strategy applies at /root/reference/pdf_extractor/extractors/
+# table_extractor.py:65 (the reference calls page.extract_tables; this is a
+# from-scratch detector over the kernel's own bbox blocks).
+# --------------------------------------------------------------------------
+_X_TOL = 3.0          # run x-starts within 3 units share a column
+_MIN_TABLE_ROWS = 3   # a grid needs >= 3 aligned rows ...
+_MIN_TABLE_COLS = 3   # ... spanning >= 3 columns.  Both bounds are the
+# false-positive guard: a region can only OPEN on a >= 3-run line (ordinary
+# justified/split text lines carry at most 2 runs), and repeated incidental
+# alignments never reach 3 rows.  Sparse rows (2 filled cells) may JOIN an
+# open region, but only when every run sits on an existing column.
+
+
+def _detect_tables(lines: list[list[dict]]) -> list[list[list[str | None]]]:
+    """Detect grid-layout tables: maximal blocks of consecutive lines whose
+    >= 3 run x-starts align into shared columns across >= 3 lines.
+
+    Returns pdfplumber-shaped data: list of tables, each a list of rows,
+    each a list of cells — a cell is the stripped concatenation of that
+    column's runs, or None where the row places nothing in the column (the
+    same None-for-empty fidelity the DOM parser keeps for <td>)."""
+    tables: list[list[list[str | None]]] = []
+    region: list[list[dict]] = []
+    centers: list[float] = []
+
+    def flush() -> None:
+        nonlocal region, centers
+        if len(region) >= _MIN_TABLE_ROWS:
+            t = _region_to_table(region)
+            if t is not None:
+                tables.append(t)
+        region, centers = [], []
+
+    for line in lines:
+        xs = [r["x"] for r in line]
+        if len(xs) < 2:
+            flush()
+            continue
+        if len(xs) < _MIN_TABLE_COLS:
+            # sparse row (2 filled cells): may JOIN an open region, but only
+            # when EVERY run sits on an existing column — it can neither
+            # open a region nor add columns, so 2-run paragraph lines (whose
+            # second run starts at an arbitrary text-width offset) stay out.
+            if region and all(
+                any(abs(x - c) <= _X_TOL for c in centers) for x in xs
+            ):
+                region.append(line)
+            else:
+                flush()
+            continue
+        if not region:
+            region = [line]
+            centers = list(xs)
+            continue
+        matched = sum(
+            1 for x in xs if any(abs(x - c) <= _X_TOL for c in centers)
+        )
+        # two shared columns are enough to JOIN a region: rows with empty
+        # cells can overlap a neighbor on as few as 2 columns even in a
+        # 5-column grid.  The >=3-column / >=3-row minimums still apply to
+        # the finalized region, so this does not weaken the FP guard (a
+        # region-OPENING line must carry >= _MIN_TABLE_COLS runs).
+        if matched >= 2:
+            region.append(line)
+            for x in xs:  # unmatched starts open NEW columns for later rows
+                if not any(abs(x - c) <= _X_TOL for c in centers):
+                    centers.append(x)
+        else:
+            flush()
+            region = [line]
+            centers = list(xs)
+    flush()
+    return tables
+
+
+def _region_to_table(region: list[list[dict]]) -> list[list[str | None]] | None:
+    """Cluster the region's run x-starts into columns (1-D gap clustering)
+    and assign each line's runs to its nearest column."""
+    starts = sorted(x for line in region for r in line for x in [r["x"]])
+    clusters: list[list[float]] = []
+    for x in starts:
+        if clusters and x - clusters[-1][-1] <= _X_TOL:
+            clusters[-1].append(x)
+        else:
+            clusters.append([x])
+    if len(clusters) < _MIN_TABLE_COLS:
+        return None
+    centers = [sum(c) / len(c) for c in clusters]
+    rows: list[list[str | None]] = []
+    for line in region:
+        cells: list[list[str]] = [[] for _ in centers]
+        for r in line:
+            ci = min(range(len(centers)), key=lambda i: abs(r["x"] - centers[i]))
+            cells[ci].append(r["text"])
+        rows.append([
+            ("".join(parts).strip() if parts else None) for parts in cells
+        ])
+    return rows
 
 
 _IMG_FMT = {"DCTDecode": "jpeg", "JPXDecode": "jp2", "FlateDecode": "raw",
@@ -1282,7 +1511,7 @@ def _walk_pages(doc: Document, node: dict, out: list[dict]) -> None:
 def parse_pdf(data: bytes) -> dict:
     """OP-59/OP-60 kernel: PDF bytes -> {n_pages, pages[], metadata}.
 
-    Each page: {page_number (1-indexed), text, blocks[], images[]}.
+    Each page: {page_number (1-indexed), text, blocks[], tables[], images[]}.
     Raises PdfError on out-of-dialect input.
     """
     doc = Document(data)
@@ -1311,11 +1540,13 @@ def parse_pdf(data: bytes) -> dict:
             if isinstance(doc.resolve(s), Stream)
         )
         runs = _extract_runs(buf, _page_fonts(doc, pg))
-        text, blocks = _assemble_text(runs)
+        lines = _group_lines(runs) if runs else []
+        text, blocks = _assemble_from_lines(lines) if lines else ("", [])
         pages.append({
             "page_number": i + 1,  # 1-indexed like the reference (OP-19)
             "text": text,
             "blocks": blocks,
+            "tables": _detect_tables(lines),
             "images": _page_images(doc, pg),
         })
     return {"n_pages": len(pages), "pages": pages, "metadata": metadata}

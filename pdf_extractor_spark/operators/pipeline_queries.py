@@ -309,6 +309,77 @@ def q_pdf_cmap(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("p").cast("long").alias("total_pages"),
     )
 
+_N_FONTCMAP_DOCS = 100
+_FONTCMAP_TOTAL_PAGES = 252  # generator spec: sum of planned page counts
+                             # (scripts/derive_kind_expectations.py)
+
+
+@query(
+    "q_pdf_fontcmap",
+    # Structural (non-circular) oracle, same discipline as q_pdf_cmap: the
+    # SAME document serialized with a simple Type1 font and with a Type0
+    # font that has NO /ToUnicode CMap — only an embedded TrueType program
+    # (/FontFile2) whose format-4 cmap the parser must invert to recover
+    # unicode — must parse to byte-identical text and page structure; the
+    # page total comes from the generator's page plan, not the parser.
+    f"""
+    SELECT CAST({_N_FONTCMAP_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_FONTCMAP_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_FONTCMAP_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_fontcmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedded-font-cmap gate (round-4 item 4; VERDICT.md round-3
+    'What's missing' #3 — real subsetted PDFs often omit /ToUnicode and
+    force consumers to read the embedded font program's cmap table;
+    reference capability via MuPDF, text_extractor.py:51-53): serialize
+    100 documents with simple AND Type0/Identity-H fonts where the
+    composite variant embeds a minimal TrueType carrying a format-4 cmap
+    (sources/synth_ttf.py) instead of a /ToUnicode stream, parse both with
+    the kernel (kernels/pdf.py _parse_truetype_cmap inverts unicode->GID;
+    GID == CID under /CIDToGIDMap /Identity), and require text/metadata/
+    page equality per document plus the generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                dialect = "modern" if doc_id % 2 else "classic"
+                rs = parse_pdf(make_pdf(
+                    _random.Random(f"fontcmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="simple")[0])
+                rf = parse_pdf(make_pdf(
+                    _random.Random(f"fontcmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid-fontfile")[0])
+                same = (
+                    [p["text"] for p in rs["pages"]]
+                    == [p["text"] for p in rf["pages"]]
+                    and rs["metadata"] == rf["metadata"]
+                    and rs["n_pages"] == rf["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rs["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_FONTCMAP_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
 _N_CRYPT_DOCS = 60
 _CRYPT_TOTAL_PAGES = 158  # generator spec: sum of planned page counts
                           # (scripts/derive_kind_expectations.py)
@@ -386,4 +457,92 @@ def q_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("m").cast("long").alias("n_text_match"),
         F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
+_N_TABLE_DOCS = 60
+_TABLE_TOTAL = 120   # generator spec: one grid per page, pages = 1+doc_id%3
+_TABLE_ROWS = 554    # generator spec: sum of per-grid row counts
+# (both re-derived from the spec rng on every pytest run by
+# tests/test_pdf_tables.py::test_gate_constants_match_spec)
+
+
+@query(
+    "q_pdf_tables",
+    # Structural (non-circular) oracle, same discipline as q_pdf_dialects:
+    # the SAME logical grid rendered as positioned PDF text runs and as an
+    # HTML <table> must parse to identical cell data (including None for
+    # empty cells), and both must equal the generator's spec rows; the
+    # table/row totals come from the generator's spec rng, not the parser.
+    f"""
+    SELECT CAST({_N_TABLE_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_TABLE_DOCS} AS BIGINT) AS n_match,
+           CAST({_TABLE_TOTAL} AS BIGINT) AS total_tables,
+           CAST({_TABLE_ROWS} AS BIGINT) AS total_rows
+    """,
+)
+def q_pdf_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF-native table detection gate (round-4 item 1; OP-61 — the
+    reference extracts PDF tables via pdfplumber's word-cluster strategy,
+    table_extractor.py:42-135): serialize 60 documents executor-side, each
+    page carrying one grid of positioned runs (emission-shuffled), detect
+    tables with the kernel's x-cluster column alignment (kernels/pdf.py
+    _detect_tables), and require three-way cell-data equality per doc —
+    PDF-detected == DOM-parsed HTML twin == generator spec — plus page-text
+    equality (grid rows join reading order) and the spec totals."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels import dom
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf, make_table_spec, table_spec_html
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, ntab, nrow = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                n_pages = 1 + doc_id % 3
+                specs = [
+                    make_table_spec(_random.Random(f"table-spec:{doc_id}:{p}"))
+                    for p in range(n_pages)
+                ]
+                pdf_bytes, exp_lines = make_pdf(
+                    _random.Random(f"table-gate:{doc_id}"), doc_id,
+                    n_pages=n_pages,
+                    dialect="modern" if doc_id % 2 else "classic",
+                    page_tables=specs)
+                r = parse_pdf(pdf_bytes)
+                html = (
+                    "<html><head><title>t</title></head><body>"
+                    + "".join(table_spec_html(s) for s in specs)
+                    + "</body></html>"
+                )
+                h = dom.parse_html(html.encode("utf-8"))
+                want = [s["rows"] for s in specs]
+                got = [t for p in r["pages"] for t in p["tables"]]
+                same = (
+                    got == want
+                    and h["tables"] == want
+                    and all(
+                        p["text"] == "\n".join(el)
+                        for p, el in zip(r["pages"], exp_lines)
+                    )
+                )
+                match.append(1 if same else 0)
+                ntab.append(len(got))
+                nrow.append(sum(len(t) for t in got))
+            yield pd.DataFrame({"m": match, "t": ntab, "r": nrow})
+
+    per_doc = (
+        spark.range(0, _N_TABLE_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, t int, r int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum("t").cast("long").alias("total_tables"),
+        F.sum("r").cast("long").alias("total_rows"),
     )

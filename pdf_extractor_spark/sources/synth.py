@@ -108,13 +108,73 @@ def _tounicode_cmap(assign: dict[str, int]) -> bytes:
     return b"".join(parts)
 
 
+def make_table_spec(rng: random.Random) -> dict:
+    """Draw one grid-table spec shared by BOTH serializers (PDF text grid
+    and HTML <table>), so the two renderings of the same logical table can
+    be required to parse to identical cell data (the q_pdf_tables gate).
+
+    rows: list of rows, each a list of cells (None = empty cell).  The
+    FIRST row keeps >= 3 non-empty cells (a region can only OPEN on a
+    >= 3-run line, kernels/pdf.py _MIN_TABLE_COLS); later rows may be
+    sparse down to 2 filled cells (they JOIN via the all-on-existing-columns
+    rule).
+    col_x: the PDF column x-starts."""
+    n_cols = rng.randint(3, 5)
+    n_rows = rng.randint(3, 6)
+    col_x = [72.0]
+    for _ in range(n_cols - 1):
+        col_x.append(col_x[-1] + rng.randint(95, 140))
+    rows: list[list[str | None]] = []
+    for r_i in range(n_rows):
+        row: list[str | None] = []
+        for _c in range(n_cols):
+            if rng.random() < 0.15:
+                row.append(None)
+            else:
+                n_words = rng.randint(1, 2)
+                row.append(" ".join(rng.choice(_WORDS) for _ in range(n_words)))
+        filled = [i for i, c in enumerate(row) if c is None]
+        min_filled = 3 if r_i == 0 else 2
+        while sum(c is not None for c in row) < min_filled:
+            i = filled.pop()
+            row[i] = rng.choice(_WORDS)
+        rows.append(row)
+    return {"rows": rows, "col_x": col_x}
+
+
+def table_spec_html(spec: dict) -> str:
+    """Render a table spec as the HTML twin: one <td> per cell, empty <td>
+    for None (the DOM parser keeps None-for-empty fidelity)."""
+    out = ["<table>"]
+    for row in spec["rows"]:
+        out.append(
+            "<tr>" + "".join(f"<td>{c if c is not None else ''}</td>"
+                             for c in row) + "</tr>"
+        )
+    out.append("</table>")
+    return "".join(out)
+
+
+def table_expected_lines(spec: dict) -> list[str]:
+    """Reading-order text the kernel assembles from the PDF grid: per row,
+    the non-empty cells joined by single spaces (each cell run carries one
+    trailing space; line assembly concatenates x-sorted runs and strips)."""
+    return [
+        " ".join(c for c in row if c is not None) for row in spec["rows"]
+    ]
+
+
 def _content_stream(rng: random.Random, lines: list[str],
-                    encode_string=_simple_string) -> bytes:
+                    encode_string=_simple_string,
+                    table: dict | None = None) -> bytes:
     """Emit text operators for ``lines`` (top-to-bottom reading order) in a
     SHUFFLED order, with a mix of Td / Tm / TD+T* / TJ forms.
     ``encode_string`` serializes one shown string (literal for simple fonts,
     hex CID string for the composite-font dialect); the rng draw sequence is
-    identical either way, so document TEXT is font-dialect-invariant."""
+    identical either way, so document TEXT is font-dialect-invariant.
+    ``table``: an optional make_table_spec grid appended BELOW the
+    paragraph lines — one positioned run per non-empty cell, shuffled into
+    the same emission pool (reading-order sort must reassemble the grid)."""
     chunks: list[bytes] = []
     y = 720.0
     size = 12.0
@@ -158,6 +218,18 @@ def _content_stream(rng: random.Random, lines: list[str],
         ops.append(b"ET")
         chunks.append(b"\n".join(ops))
         y -= 16.0
+    if table is not None:
+        ty = y - 8.0
+        for row in table["rows"]:
+            for cx, cell in zip(table["col_x"], row):
+                if cell is None:
+                    continue
+                chunks.append(b"\n".join([
+                    b"BT", b"/F1 11.0 Tf",
+                    b"1 0 0 1 %.2f %.2f Tm" % (cx, ty),
+                    encode_string(cell + " ") + b" Tj", b"ET",
+                ]))
+            ty -= 18.0
     rng.shuffle(chunks)  # emission order != reading order: forces OP-48 sort
     # Inline images (BI/ID/EI, §8.9.7) between text objects for ~1 line in 5.
     # Keyed off a crc of the line text and inserted AFTER the shuffle — zero
@@ -308,8 +380,15 @@ def _encode_stream(enc_rng: random.Random, content: bytes) -> tuple[bytes, bytes
 def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              with_images: bool = True, dialect: str = "classic",
              font: str = "simple", encrypt: str | None = None,
+             page_tables: list[dict] | None = None,
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
+
+    ``page_tables``: optional per-page make_table_spec grids (len ==
+    n_pages; None entries allowed) rendered BELOW each page's paragraphs as
+    positioned text runs; the expected reading-order lines then include the
+    grid rows (table_expected_lines).  Opt-in — the default corpus draws
+    are byte-identical to before this parameter existed.
 
     ``dialect='classic'``: PDF 1.4, classic xref table, Flate content.
     ``dialect='modern'``: PDF 1.5 — cross-reference STREAM (optionally with
@@ -336,10 +415,18 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     """
     if n_pages is None:
         n_pages = rng.randint(1, 4)
-    page_lines: list[list[str]] = []
+    if page_tables is not None and len(page_tables) != n_pages:
+        raise ValueError("page_tables length must equal n_pages")
+    page_paras: list[list[str]] = []
     for _ in range(n_pages):
         n = rng.randint(3, 10)
-        page_lines.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
+        page_paras.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
+    # expected reading-order lines = paragraphs, then the grid rows below
+    page_lines = [list(p) for p in page_paras]
+    if page_tables is not None:
+        for pl, spec in zip(page_lines, page_tables):
+            if spec is not None:
+                pl.extend(table_expected_lines(spec))
 
     enc_rng = random.Random(f"enc:{doc_id}") if dialect == "modern" else None
     if encrypt:
@@ -365,30 +452,66 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     next_id = 3
     font_id = next_id
     next_id += 1
-    if font == "cid":
+    if font in ("cid", "cid-fontfile"):
         assign = _cid_assignment(page_lines)
-        cmap = _tounicode_cmap(assign)
         desc_id = next_id
         next_id += 1
-        cmap_id = next_id
+        aux_id = next_id  # ToUnicode CMap stream OR FontFile2 stream
         next_id += 1
-        cmap_z = stream_enc(cmap_id, zlib.compress(cmap, 6))
-        objs[font_id] = (
-            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
-            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
-            b"/ToUnicode %d 0 R >>" % (desc_id, cmap_id)
-        )
-        objs[desc_id] = (
-            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
-            b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
-            + b" /Ordering " + strenc(desc_id, "Identity")
-            + b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
-        )
-        objs[cmap_id] = (
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
-            + cmap_z + b"\nendstream"
-        )
-        stream_ids.add(cmap_id)
+        if font == "cid":
+            cmap = _tounicode_cmap(assign)
+            cmap_z = stream_enc(aux_id, zlib.compress(cmap, 6))
+            objs[font_id] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+                b"/ToUnicode %d 0 R >>" % (desc_id, aux_id)
+            )
+            objs[desc_id] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+                b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
+                + b" /Ordering " + strenc(desc_id, "Identity")
+                + b" /Supplement 0 >> /CIDToGIDMap /Identity >>"
+            )
+            objs[aux_id] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cmap_z)
+                + cmap_z + b"\nendstream"
+            )
+            stream_ids.add(aux_id)
+        else:
+            # no /ToUnicode: the parser must recover text by inverting the
+            # embedded TrueType program's format-4 cmap (unicode -> GID;
+            # GID == CID under /CIDToGIDMap /Identity + /Identity-H)
+            from .synth_ttf import build_truetype_cmap
+
+            fdesc_id = next_id
+            next_id += 1
+            ttf = build_truetype_cmap(
+                {ord(ch): cid for ch, cid in assign.items()})
+            ttf_len1 = len(ttf)
+            ttf_z = stream_enc(aux_id, zlib.compress(ttf, 6))
+            objs[font_id] = (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+                % desc_id
+            )
+            objs[desc_id] = (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
+                b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
+                + b" /Ordering " + strenc(desc_id, "Identity")
+                + b" /Supplement 0 >> /CIDToGIDMap /Identity "
+                + b"/FontDescriptor %d 0 R >>" % fdesc_id
+            )
+            objs[fdesc_id] = (
+                b"<< /Type /FontDescriptor /FontName /SynthCID /Flags 4 "
+                b"/FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                b"/Descent -200 /CapHeight 700 /StemV 80 "
+                b"/FontFile2 %d 0 R >>" % aux_id
+            )
+            objs[aux_id] = (
+                b"<< /Length %d /Length1 %d /Filter /FlateDecode >>\nstream\n"
+                % (len(ttf_z), ttf_len1) + ttf_z + b"\nendstream"
+            )
+            stream_ids.add(aux_id)
 
         def encode_string(s: str) -> bytes:
             return b"<" + "".join("%04x" % assign[c] for c in s).encode() + b">"
@@ -397,8 +520,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         encode_string = _simple_string
 
     kid_ids: list[int] = []
-    for lines in page_lines:
-        content = _content_stream(rng, lines, encode_string)
+    for pg_i, lines in enumerate(page_paras):
+        spec = page_tables[pg_i] if page_tables is not None else None
+        content = _content_stream(rng, lines, encode_string, table=spec)
         if enc_rng is None:
             fdict, data = b"/Filter /FlateDecode", zlib.compress(content, 6)
         else:

@@ -56,6 +56,19 @@ def cmap_total_pages(n_docs: int = 100) -> int:
     return total
 
 
+def fontcmap_total_pages(n_docs: int = 100) -> int:
+    """Planned page total of the q_pdf_fontcmap fixture set (page plan is
+    font-dialect-invariant — the rng draw sequence does not depend on how
+    strings are serialized)."""
+    total = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"fontcmap-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font="simple",
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def crypt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_pdf_encrypted fixture set (page plan is
     encryption-invariant — the encryptor draws nothing from the main rng)."""
@@ -75,4 +88,5 @@ if __name__ == "__main__":
         print(f"  ('{kind}', 'ok', CAST({n} AS BIGINT), CAST({p} AS BIGINT))")
     print(f"q_pdf_dialects total_pages: {dialect_total_pages()}")
     print(f"q_pdf_cmap total_pages: {cmap_total_pages()}")
+    print(f"q_pdf_fontcmap total_pages: {fontcmap_total_pages()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")

@@ -54,6 +54,17 @@ def test_pdf_cmap_constant_matches_generator_spec():
     assert _CMAP_TOTAL_PAGES == cmap_total_pages(_N_CMAP_DOCS)
 
 
+def test_pdf_fontcmap_constant_matches_generator_spec():
+    from scripts.derive_kind_expectations import fontcmap_total_pages
+
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _FONTCMAP_TOTAL_PAGES,
+        _N_FONTCMAP_DOCS,
+    )
+
+    assert _FONTCMAP_TOTAL_PAGES == fontcmap_total_pages(_N_FONTCMAP_DOCS)
+
+
 def test_pdf_encrypted_constant_matches_generator_spec():
     from scripts.derive_kind_expectations import crypt_total_pages
 
