@@ -1,10 +1,16 @@
 """OCR-shaped extraction chain (SURVEY.md OP-62; reference ocr_extractor.py).
 
 No OCR engine ships in this container (the reference shells out to
-pytesseract, /root/reference/pdf_extractor/extractors/ocr_extractor.py:62-178),
-so the *recognition* step is a deterministic synthetic glyph-box model — but
-every OTHER stage of the reference's chain runs for real, end-to-end from the
-binary payload:
+pytesseract, /root/reference/pdf_extractor/extractors/ocr_extractor.py:62-178).
+Two complementary paths close OP-62:
+
+- ``q_ocr_raster`` (round 4): REAL recognition from pixels — fixed-pitch
+  template matching over rendered+PNG-round-tripped rasters
+  (kernels/ocr_raster.py; the recognizer never sees the input string).
+- ``q_ocr_lines`` (below): the reference's full post-recognition chain,
+  with a deterministic synthetic glyph-box model standing in for the
+  engine so the oracle stays SQL-expressible; every OTHER stage runs for
+  real, end-to-end from the binary payload:
 
     payload bytes -> kernel parse (DOM/PDF) -> content words        (real)
       -> word boxes (x, y layout, 6 words/line) + confidence        (synthetic,
@@ -232,3 +238,87 @@ def q_ocr_lines(spark: SparkSession, sf: str) -> DataFrame:
     pages = pages_from_documents(spark, sf)
     ext = with_extraction(pages).select("doc_id", "ext")
     return ocr_lines(ocr_word_boxes_from_extraction(ext))
+
+
+_N_RASTER_DOCS = 80
+_RASTER_TOTAL_LINES = 367   # generator spec: sum of planned line counts
+_RASTER_TOTAL_CHARS = 11048  # generator spec: sum of planned line lengths
+# (both re-derived from the spec rng on every pytest run by
+# tests/test_pipeline_kinds_spec.py::test_ocr_raster_constants_match_generator_spec)
+
+
+@query(
+    "q_ocr_raster",
+    # Structural (non-circular) oracle, same discipline as q_png_pipeline:
+    # text drawn from the generator spec rng, rasterized with the
+    # fixed-pitch glyph bank, round-tripped through the from-scratch PNG
+    # codec, and RECOGNIZED back from pixels alone must equal the spec
+    # text for every line of every doc; line/char totals come from the
+    # spec rng, never from the recognizer.
+    f"""
+    SELECT CAST({_N_RASTER_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_RASTER_DOCS} AS BIGINT) AS n_match,
+           CAST({_RASTER_TOTAL_LINES} AS BIGINT) AS total_lines,
+           CAST({_RASTER_TOTAL_CHARS} AS BIGINT) AS total_chars
+    """,
+)
+def q_ocr_raster(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL raster recognition gate (round-4 item 7; upgrades OP-62 from
+    'chain real, labels synthetic' to recognition-from-pixels within
+    sandbox limits — the reference rasterizes the page to a pixmap and
+    hands it to tesseract, ocr_extractor.py:105): per doc, draw 3-6 text
+    lines from the spec rng, rasterize each at scale 2-3 with 2%
+    salt-and-pepper noise (kernels/ocr_raster.render_text), encode the
+    raster as grayscale PNG and decode it back with the from-scratch codec
+    (kernels/png.py), then recognize the decoded pixels by
+    normalized-correlation template matching (recognize_text — it never
+    sees the input string).  A doc matches when every line's recognized
+    text equals the spec text."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.ocr_raster import recognize_text, render_text
+    from ..kernels.png import decode_png, encode_png
+    from ..sources.synth import _WORDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m, nl, nc = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                rng = _random.Random(f"raster-gate:{doc_id}")
+                scale = 2 + doc_id % 2
+                n_lines = rng.randint(3, 6)
+                ok, chars = 1, 0
+                for ln in range(n_lines):
+                    line = " ".join(
+                        rng.choice(_WORDS)
+                        for _ in range(rng.randint(3, 7)))
+                    chars += len(line)
+                    img = render_text(line, scale=scale, noise=0.02,
+                                      seed=f"{doc_id}:{ln}")
+                    png = encode_png(img.shape[1], img.shape[0],
+                                     img.tobytes(), channels=1)
+                    w, h, ch, px = decode_png(png)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    got, _confs = recognize_text(arr)
+                    if got != line or ch != 1:
+                        ok = 0
+                m.append(ok)
+                nl.append(n_lines)
+                nc.append(chars)
+            yield pd.DataFrame({"m": m, "l": nl, "c": nc})
+
+    per_doc = (
+        spark.range(0, _N_RASTER_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, l int, c int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum("l").cast("long").alias("total_lines"),
+        F.sum("c").cast("long").alias("total_chars"),
+    )

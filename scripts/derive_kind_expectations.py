@@ -69,6 +69,23 @@ def fontcmap_total_pages(n_docs: int = 100) -> int:
     return total
 
 
+def raster_totals(n_docs: int = 80) -> tuple[int, int]:
+    """(total_lines, total_chars) of the q_ocr_raster fixture set — pure
+    spec-rng draws, independent of renderer and recognizer alike."""
+    from pdf_extractor_spark.sources.synth import _WORDS
+
+    total_lines = total_chars = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"raster-gate:{doc_id}")
+        n_lines = rng.randint(3, 6)
+        for _ in range(n_lines):
+            line = " ".join(rng.choice(_WORDS)
+                            for _ in range(rng.randint(3, 7)))
+            total_chars += len(line)
+        total_lines += n_lines
+    return total_lines, total_chars
+
+
 def crypt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_pdf_encrypted fixture set (page plan is
     encryption-invariant — the encryptor draws nothing from the main rng)."""

@@ -65,6 +65,19 @@ def test_pdf_fontcmap_constant_matches_generator_spec():
     assert _FONTCMAP_TOTAL_PAGES == fontcmap_total_pages(_N_FONTCMAP_DOCS)
 
 
+def test_ocr_raster_constants_match_generator_spec():
+    from scripts.derive_kind_expectations import raster_totals
+
+    from pdf_extractor_spark.operators.ocr import (
+        _N_RASTER_DOCS,
+        _RASTER_TOTAL_CHARS,
+        _RASTER_TOTAL_LINES,
+    )
+
+    assert (_RASTER_TOTAL_LINES, _RASTER_TOTAL_CHARS) == \
+        raster_totals(_N_RASTER_DOCS)
+
+
 def test_pdf_encrypted_constant_matches_generator_spec():
     from scripts.derive_kind_expectations import crypt_total_pages
 
