@@ -204,7 +204,13 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     At scale: the band-bucket join replaces the all-pairs Jaccard; bucket
     sizes are the skew control (band width tunes precision/recall)."""
-    base = _shingle_array(spark, sf, LSH_CAP)
+    return minhash_lsh_pairs(_shingle_array(spark, sf, LSH_CAP))
+
+
+def _band_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, shs) -> (doc_id, band, bkey): 16 per-row array_min MinHash
+    signatures folded into 8 two-row band keys — 8 rows per doc, no
+    shuffle."""
 
     def _sig(seed: int):
         # nb: the lambda MUST take exactly one arg — a second parameter
@@ -226,9 +232,26 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         )
         for b in range(0, _N_HASHES, _BAND_SIZE)
     ]
-    bands = base.select(
+    return base.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
+def minhash_lsh_pairs(base: DataFrame) -> DataFrame:
+    """(doc_id, shs) -> DISTINCT (doc_a, doc_b) LSH candidate pairs; the
+    parameterized plan q_minhash_lsh runs at LSH_CAP and
+    scripts/bench_lsh_growth.py runs uncapped for the candidate-growth
+    measurement.
+
+    SCALE NOTE (measured, scripts/bench_lsh_growth.py): enumerating every
+    within-bucket pair is quadratic in DUP-CLUSTER SIZE — on a corpus whose
+    clusters grow with n (boilerplate/template pages at web scale), pair
+    output itself goes ~n^2 even though the algorithm never compares
+    non-colliding docs.  That is inherent to emitting the pair RELATION
+    (the true near-dup pair count is quadratic too); consumers that only
+    need components/dedup decisions should take ``minhash_star_edges``
+    instead, whose edge count is bounded by the band ROWS (8n)."""
+    bands = _band_rows(base)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -239,6 +262,30 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_star_edges(base: DataFrame) -> DataFrame:
+    """Per-bucket STAR edges (every doc -> the bucket's min doc) instead of
+    within-bucket cliques: connected components are IDENTICAL (any two docs
+    in a bucket are linked through its hub; transitive closure across
+    buckets is untouched) while edge count is bounded by the band rows
+    (<= 8 per doc, so O(n) vs the clique join's O(sum bucket^2)) — the
+    standard trick that makes LSH dedup linear when duplicate clusters grow
+    with the corpus.  Measured: scripts/bench_lsh_growth.py (clique pairs
+    x99 per 10x docs vs star edges x~10).  One window shuffle on
+    (band, bkey); equality of downstream clusters is pinned by
+    tests/test_dedup.py::test_star_edges_same_clusters."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey")
+    bands = _band_rows(base)
+    return (
+        bands
+        .withColumn("hub", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -357,8 +404,15 @@ def q_dedup_verify(spark: SparkSession, sf: str) -> DataFrame:
     joined the exploded shingle rows of both sides through a
     per-pair-per-shingle shuffle.  Now only (doc_id -> shingle array) joins
     ship, keyed on the candidate ids."""
-    cand = q_minhash_lsh(spark, sf)
-    base = _shingle_array(spark, sf, LSH_CAP)
+    return jaccard_verify(
+        q_minhash_lsh(spark, sf), _shingle_array(spark, sf, LSH_CAP)
+    )
+
+
+def jaccard_verify(cand: DataFrame, base: DataFrame) -> DataFrame:
+    """Exact-Jaccard verdicts scoped to ``cand`` pairs over ``base``
+    (doc_id, shs) shingle arrays — the parameterized verify stage shared by
+    q_dedup_verify and scripts/bench_lsh_growth.py."""
     a = base.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = base.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     paired = (
@@ -480,8 +534,13 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pattern Catalyst cannot express in one plan.  Oracle side: a recursive
     CTE computing reachability labels; min reachable id == min component id
     on an undirected graph.  Both converge to identical labels because the
-    min-label fixpoint is unique."""
-    cand = q_minhash_lsh(spark, sf)
+    min-label fixpoint is unique.
+
+    Round 4: the Spark side propagates over ``minhash_star_edges`` (O(n)
+    edges) while the oracle keeps the clique-pair formulation — components
+    and therefore labels are identical (test-pinned), and the star graph is
+    what survives a corpus whose dup clusters grow with n."""
+    cand = minhash_star_edges(_shingle_array(spark, sf, LSH_CAP))
     nodes = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

@@ -1,5 +1,10 @@
 """Iceberg-real validation (round-3 item 5 / VERDICT.md "Iceberg untested").
 
+Network probe refreshed 2026-08-17 (round 4): DNS resolution to Maven
+Central still fails (``urlopen error Name or service not known``), so the
+jar remains unobtainable in-sandbox and this module still skips with the
+exact precondition below.
+
 This sandbox ships no Iceberg runtime jar and has no network, so the
 Iceberg-specific semantics (snapshot lineage, MERGE, time travel) cannot be
 exercised here — sources/pages.py transparently falls back to Parquet.
