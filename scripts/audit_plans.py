@@ -74,6 +74,14 @@ AUDITS = [
      "note": "resume primitive as LeftAnti"}),
     ("q_range_join", {"max_exchanges": 3,
      "note": "equi user-key carries the join; time band is a join filter, not a nested loop"}),
+    ("q_pdf_tables", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 4: map-only PDF-grid serialize + x-cluster table detection gate; single final-agg exchange"}),
+    ("q_pdf_fontcmap", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 4: map-only embedded-TrueType-cmap decode gate (Type0 without /ToUnicode); single final-agg exchange"}),
+    ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 4: map-only raster-OCR recognition gate (render -> PNG round-trip -> template matching); single final-agg exchange"}),
+    ("q_dup_clusters", {"absent": "CartesianProduct",
+     "note": "round 4: label propagation now runs over STAR edges (hub = min doc per (band,bkey) window) — edge count bounded by the 8n band rows instead of within-bucket cliques; fixpoint joins stay equi-keyed, never cartesian"}),
 ]
 
 
