@@ -109,6 +109,7 @@ def extract_document(payload: bytes) -> dict:
                     blocks=[_unify_pdf_block(b) for b in pg["blocks"]],
                     images=[_unify_image(i) for i in pg["images"]],
                     tables=pg["tables"],
+                    links=pg["links"],
                 )
                 for pg in r["pages"]
             ]

@@ -1499,6 +1499,36 @@ def _page_images(doc: Document, page: dict) -> list[dict]:
     return images
 
 
+def _page_links(doc: Document, page: dict) -> list[str]:
+    """Harvest /Annots link URIs in annotation-array order (the reference
+    walks fitz ``page.get_links()``, extract_cam_followers.py:96-99 —
+    PDF-side parity for what the DOM kernel does with <a href>):
+    /Subtype /Link annotations carrying a /A action with /S /URI, or the
+    PDF 1.1 legacy direct /URI key on the annotation itself.  Non-link
+    annotations and malformed entries are skipped, not fatal."""
+    annots = doc.resolve(page.get(Name("Annots")))
+    if not isinstance(annots, list):
+        return []
+    out: list[str] = []
+    for a in annots:
+        ad = doc.resolve(a)
+        if not isinstance(ad, dict):
+            continue
+        if doc.resolve(ad.get(Name("Subtype"))) != "Link":
+            continue
+        uri = None
+        action = doc.resolve(ad.get(Name("A")))
+        if isinstance(action, dict) and doc.resolve(action.get(Name("S"))) == "URI":
+            uri = doc.resolve(action.get(Name("URI")))
+        if uri is None:
+            uri = doc.resolve(ad.get(Name("URI")))
+        if isinstance(uri, bytes):
+            out.append(_decode_pdf_string(uri))
+        elif isinstance(uri, str):
+            out.append(uri)
+    return out
+
+
 def _walk_pages(doc: Document, node: dict, out: list[dict]) -> None:
     t = doc.resolve(node.get(Name("Type")))
     if t == "Pages":
@@ -1548,5 +1578,6 @@ def parse_pdf(data: bytes) -> dict:
             "blocks": blocks,
             "tables": _detect_tables(lines),
             "images": _page_images(doc, pg),
+            "links": _page_links(doc, pg),
         })
     return {"n_pages": len(pages), "pages": pages, "metadata": metadata}

@@ -291,6 +291,100 @@ def minhash_star_edges(base: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Substring-level dedup (winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+# Token-8-gram hashes sampled by winnowing (min hash per window of 4
+# consecutive grams — Schleimer et al., the MOSS scheme): any substring
+# shared between two documents that spans >= K+W-1 = 11 whitespace tokens
+# is guaranteed to contribute at least one common fingerprint.
+_SUB_K = 8   # gram size, in tokens
+_SUB_W = 4   # winnowing window, in grams
+
+
+@query(
+    "q_substring_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - {_SUB_K - 2}),
+                            i -> md5(array_to_string(
+                                     list_slice(t, i, i + {_SUB_K - 1}), ' '))) AS g
+      FROM toks WHERE len(t) >= {_SUB_K}
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(g) - {_SUB_W - 2}),
+                            i -> list_min(list_slice(g, i, i + {_SUB_W - 1})))) AS f
+      FROM grams WHERE len(g) >= {_SUB_W}
+    ),
+    expl AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    cnt AS (SELECT fp, count(*) AS nd FROM expl GROUP BY fp)
+    SELECT e.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac
+    FROM expl e JOIN cnt c ON e.fp = c.fp
+    GROUP BY e.doc_id
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SUBSTRING-level dedup via winnowing fingerprints — the third dedup
+    granularity next to document-level (q_dedup_exact/q_minhash_lsh) and
+    paragraph-level (q_paragraph_dedup): training-data pipelines remove
+    repeated SPANS (boilerplate, licenses, chain letters) that survive both
+    coarser passes (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — their ExactSubstr pass; reference analogue:
+    none, this is a north-star pipeline extra).
+
+    Per doc, ALL token-8-gram md5s and the winnowed sample (min per window
+    of 4) are per-row JVM array folds — nothing explodes until the sampled
+    fingerprints (~1/W of grams).  Then: one groupBy(fp) for document
+    frequency, one fp-keyed join back, one groupBy(doc).  At 100 TB this is
+    the linear plan: no pair enumeration anywhere; a boilerplate
+    fingerprint shared by millions of docs is a single hot reduce key whose
+    count still partial-aggregates map-side, and the join fan-out is
+    bounded by the input row count.  Output: per-doc fingerprint count,
+    how many are shared with ANY other doc, and the duplicated fraction
+    (the ExactSubstr removal signal)."""
+    d = fan_out(
+        T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""),
+        "doc_id",
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= _SUB_K)
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {_SUB_K - 1}), "
+        f"i -> md5(cast(concat_ws(' ', slice(t, i, {_SUB_K})) as binary)))"
+    )
+    g = t.select("doc_id", grams.alias("g")).filter(F.size("g") >= _SUB_W)
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(g) - {_SUB_W - 1}), "
+            f"i -> array_min(slice(g, i, {_SUB_W})))"
+        )
+    )
+    ex = g.select("doc_id", F.explode(fps).alias("fp"))
+    cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        ex.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            shared.cast("long").alias("n_shared"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_shared") / F.col("n_fp"), 6))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -546,3 +546,89 @@ def q_pdf_tables(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("t").cast("long").alias("total_tables"),
         F.sum("r").cast("long").alias("total_rows"),
     )
+
+
+_N_LINK_DOCS = 80
+_LINK_TOTAL = 337   # generator spec: sum of per-page randint(0,4) link draws
+# (re-derived from the spec rng on every pytest run by
+# tests/test_pdf_links.py::test_gate_constants_match_spec)
+
+
+@query(
+    "q_pdf_links",
+    # Structural (non-circular) oracle, same discipline as q_pdf_tables:
+    # the SAME spec URI list serialized as PDF /Annots link annotations
+    # (both the /A action and legacy direct-/URI forms, across both xref
+    # dialects, with an encrypted share) and as HTML <a href> anchors must
+    # parse to the identical ordered list; the link total comes from the
+    # generator's spec rng, not either parser.
+    f"""
+    SELECT CAST({_N_LINK_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_LINK_DOCS} AS BIGINT) AS n_match,
+           CAST({_LINK_TOTAL} AS BIGINT) AS total_links
+    """,
+)
+def q_pdf_links(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF /Annots link-URI harvesting gate (round 4; OP-23/OP-31 PDF-side
+    parity — the reference walks fitz page.get_links(),
+    extract_cam_followers.py:96-99, while until now only the DOM kernel
+    emitted links): serialize 80 documents executor-side with spec-rng URI
+    lists as /Subtype /Link annotations (even links via /A << /S /URI >>
+    actions, odd via the PDF 1.1 direct /URI key; dialect alternates
+    classic/modern; every 4th doc RC4-128-encrypted so URI string
+    decryption is exercised), parse with the kernel (kernels/pdf.py
+    _page_links), and require per-page link equality with the spec AND
+    with the DOM-parsed HTML twin carrying the same anchors."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels import dom
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, nlinks = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                n_pages = 1 + doc_id % 3
+                spec: list[list[str]] = []
+                for p in range(n_pages):
+                    rng = _random.Random(f"link-spec:{doc_id}:{p}")
+                    n = rng.randint(0, 4)
+                    spec.append([
+                        f"https://s{rng.randint(0, 99)}.example"
+                        f"/p{rng.randint(0, 9999)}"
+                        for _ in range(n)
+                    ])
+                pdf_bytes, _ = make_pdf(
+                    _random.Random(f"link-gate:{doc_id}"), doc_id,
+                    n_pages=n_pages,
+                    dialect="modern" if doc_id % 2 else "classic",
+                    encrypt="rc4-128" if doc_id % 4 == 0 else None,
+                    page_links=spec)
+                r = parse_pdf(pdf_bytes)
+                got = [pg["links"] for pg in r["pages"]]
+                flat = [u for pl in spec for u in pl]
+                html = (
+                    "<html><head><title>l</title></head><body><p>"
+                    + " ".join(f'<a href="{u}">x</a>' for u in flat)
+                    + "</p></body></html>"
+                )
+                h = dom.parse_html(html.encode("utf-8"))
+                same = got == spec and h["links"] == flat
+                match.append(1 if same else 0)
+                nlinks.append(sum(len(pl) for pl in got))
+            yield pd.DataFrame({"m": match, "l": nlinks})
+
+    per_doc = (
+        spark.range(0, _N_LINK_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, l int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum("l").cast("long").alias("total_links"),
+    )

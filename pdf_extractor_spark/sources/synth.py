@@ -381,6 +381,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              with_images: bool = True, dialect: str = "classic",
              font: str = "simple", encrypt: str | None = None,
              page_tables: list[dict] | None = None,
+             page_links: list[list[str]] | None = None,
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -389,6 +390,12 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     positioned text runs; the expected reading-order lines then include the
     grid rows (table_expected_lines).  Opt-in — the default corpus draws
     are byte-identical to before this parameter existed.
+
+    ``page_links``: optional per-page URI lists serialized as /Annots
+    /Subtype /Link annotations — even-indexed links use the /A << /S /URI >>
+    action form, odd-indexed the PDF 1.1 legacy direct /URI key, so both
+    parser paths are exercised.  Opt-in, zero rng draws — the default
+    corpus is byte-identical with the parameter absent.
 
     ``dialect='classic'``: PDF 1.4, classic xref table, Flate content.
     ``dialect='modern'``: PDF 1.5 — cross-reference STREAM (optionally with
@@ -417,6 +424,8 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         n_pages = rng.randint(1, 4)
     if page_tables is not None and len(page_tables) != n_pages:
         raise ValueError("page_tables length must equal n_pages")
+    if page_links is not None and len(page_links) != n_pages:
+        raise ValueError("page_links length must equal n_pages")
     page_paras: list[list[str]] = []
     for _ in range(n_pages):
         n = rng.randint(3, 10)
@@ -593,12 +602,37 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 stream_ids.add(img_id)
                 parts.append(b"/Im%d %d 0 R" % (k, img_id))
             xobj_entries = b" /XObject << " + b" ".join(parts) + b" >>"
+        annots_entry = b""
+        if page_links is not None and page_links[pg_i]:
+            annot_ids = []
+            for li, uri in enumerate(page_links[pg_i]):
+                annot_id = next_id
+                next_id += 1
+                rect = b"/Rect [72 %d 300 %d]" % (700 - 14 * li, 712 - 14 * li)
+                if li % 2 == 0:
+                    body = (
+                        b"<< /Type /Annot /Subtype /Link " + rect
+                        + b" /Border [0 0 0] /A << /Type /Action /S /URI /URI "
+                        + strenc(annot_id, uri) + b" >> >>"
+                    )
+                else:
+                    body = (
+                        b"<< /Type /Annot /Subtype /Link " + rect
+                        + b" /Border [0 0 0] /URI "
+                        + strenc(annot_id, uri) + b" >>"
+                    )
+                objs[annot_id] = body
+                annot_ids.append(annot_id)
+            annots_entry = (
+                b" /Annots [" + b" ".join(b"%d 0 R" % a for a in annot_ids)
+                + b"]"
+            )
         page_id = next_id
         next_id += 1
         objs[page_id] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >>%s >> >>"
-            % (cont_id, font_id, xobj_entries)
+            b"/Contents %d 0 R /Resources << /Font << /F1 %d 0 R >>%s >>%s >>"
+            % (cont_id, font_id, xobj_entries, annots_entry)
         )
         kid_ids.append(page_id)
 

@@ -80,6 +80,10 @@ AUDITS = [
      "note": "round 4: map-only embedded-TrueType-cmap decode gate (Type0 without /ToUnicode); single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only raster-OCR recognition gate (render -> PNG round-trip -> template matching); single final-agg exchange"}),
+    ("q_pdf_links", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 4: map-only /Annots link-URI harvesting gate (PDF + DOM twins vs spec); single final-agg exchange"}),
+    ("q_substring_dedup", {"max_exchanges": 4,
+     "note": "round 4: winnowing fingerprints are per-row array folds (grams + window-min never explode); exchanges = fan-out + fp groupBy + fp join + doc groupBy — linear, no pair enumeration"}),
     ("q_dup_clusters", {"absent": "CartesianProduct",
      "note": "round 4: label propagation now runs over STAR edges (hub = min doc per (band,bkey) window) — edge count bounded by the 8n band rows instead of within-bucket cliques; fixpoint joins stay equi-keyed, never cartesian"}),
 ]

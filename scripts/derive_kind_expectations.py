@@ -86,6 +86,21 @@ def raster_totals(n_docs: int = 80) -> tuple[int, int]:
     return total_lines, total_chars
 
 
+def links_total(n_docs: int = 80) -> int:
+    """Planned link total of the q_pdf_links fixture set — pure spec-rng
+    draws, independent of both the PDF and the DOM parser."""
+    total = 0
+    for doc_id in range(n_docs):
+        for p in range(1 + doc_id % 3):
+            rng = random.Random(f"link-spec:{doc_id}:{p}")
+            n = rng.randint(0, 4)
+            for _ in range(n):
+                rng.randint(0, 99)
+                rng.randint(0, 9999)
+            total += n
+    return total
+
+
 def crypt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_pdf_encrypted fixture set (page plan is
     encryption-invariant — the encryptor draws nothing from the main rng)."""
@@ -107,3 +122,4 @@ if __name__ == "__main__":
     print(f"q_pdf_cmap total_pages: {cmap_total_pages()}")
     print(f"q_pdf_fontcmap total_pages: {fontcmap_total_pages()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
+    print(f"q_pdf_links total_links: {links_total()}")
