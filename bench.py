@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "q_pdf_cmap",          # Type0/CID + ToUnicode font gate (round 3)
     "q_pdf_encrypted",     # RC4/AES standard-handler decrypt gate (round 3)
     "q_jpeg_420",          # 4:2:0 generic-MCU codec gate (round 3)
+    "q_pdf_tables",        # PDF-native table detection gate (round 4)
+    "q_substring_dedup",   # winnowing fingerprints, corpus-wide (round 4)
+    "q_decontaminate",     # broadcast benchmark-membership join (round 4)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.

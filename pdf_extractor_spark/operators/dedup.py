@@ -301,11 +301,11 @@ def minhash_star_edges(base: DataFrame) -> DataFrame:
 _SUB_K = 8   # gram size, in tokens
 _SUB_W = 4   # winnowing window, in grams
 
-
-@query(
-    "q_substring_dedup",
-    f"""
-    WITH toks AS (
+# Shared winnowing CTE chain — the SINGLE SOURCE of the (K, W) scheme on
+# the oracle side, embedded verbatim by both q_substring_dedup and
+# q_decontaminate so the two oracles can never desynchronize (the same
+# discipline as the NGRAM_CAP/LSH_CAP constants above).
+_WINNOW_CTES = f"""toks AS (
       SELECT doc_id,
              regexp_split_to_array(lower(trim(text)), '\\s+') AS t
       FROM documents WHERE trim(text) <> ''
@@ -323,7 +323,38 @@ _SUB_W = 4   # winnowing window, in grams
                             i -> list_min(list_slice(g, i, i + {_SUB_W - 1})))) AS f
       FROM grams WHERE len(g) >= {_SUB_W}
     ),
-    expl AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    expl AS (SELECT doc_id, unnest(f) AS fp FROM fps)"""
+
+
+def _winnow_fp_rows(base: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) -> exploded (doc_id, fp) winnowing fingerprint
+    rows.  Grams and the window-min sample are per-row JVM array folds —
+    nothing explodes until the ~1/W sampled fingerprints.  The Spark twin
+    of _WINNOW_CTES."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = (
+        base.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _SUB_K)
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {_SUB_K - 1}), "
+        f"i -> md5(cast(concat_ws(' ', slice(t, i, {_SUB_K})) as binary)))"
+    )
+    g = t.select("doc_id", grams.alias("g")).filter(F.size("g") >= _SUB_W)
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(g) - {_SUB_W - 1}), "
+            f"i -> array_min(slice(g, i, {_SUB_W})))"
+        )
+    )
+    return g.select("doc_id", F.explode(fps).alias("fp"))
+
+
+@query(
+    "q_substring_dedup",
+    f"""
+    WITH {_WINNOW_CTES},
     cnt AS (SELECT fp, count(*) AS nd FROM expl GROUP BY fp)
     SELECT e.doc_id,
            CAST(count(*) AS BIGINT) AS n_fp,
@@ -353,24 +384,7 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     bounded by the input row count.  Output: per-doc fingerprint count,
     how many are shared with ANY other doc, and the duplicated fraction
     (the ExactSubstr removal signal)."""
-    d = fan_out(
-        T(spark, sf, "documents").filter(F.trim(F.col("text")) != ""),
-        "doc_id",
-    )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    t = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= _SUB_K)
-    grams = F.expr(
-        f"transform(sequence(1, size(t) - {_SUB_K - 1}), "
-        f"i -> md5(cast(concat_ws(' ', slice(t, i, {_SUB_K})) as binary)))"
-    )
-    g = t.select("doc_id", grams.alias("g")).filter(F.size("g") >= _SUB_W)
-    fps = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, size(g) - {_SUB_W - 1}), "
-            f"i -> array_min(slice(g, i, {_SUB_W})))"
-        )
-    )
-    ex = g.select("doc_id", F.explode(fps).alias("fp"))
+    ex = _winnow_fp_rows(fan_out(T(spark, sf, "documents"), "doc_id"))
     cnt = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
     return (
@@ -381,6 +395,63 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             shared.cast("long").alias("n_shared"),
         )
         .withColumn("dup_frac", F.round(F.col("n_shared") / F.col("n_fp"), 6))
+    )
+
+
+# The deterministic stand-in for a held-out evaluation set: every 7th doc.
+# A real deployment swaps this split for the actual benchmark table; the
+# plan shape (small broadcast side) is the point being exercised.
+_BENCH_MOD = 7
+
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH {_WINNOW_CTES},
+    bench AS (SELECT DISTINCT fp FROM expl WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, fp FROM expl WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(CASE WHEN sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM corpus c LEFT JOIN bench b ON c.fp = b.fp
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the standard pre-training hygiene pass
+    (GPT-3 appendix C / PaLM / Llama all report n-gram-overlap decontam
+    against eval sets): flag training docs that share any winnowed
+    substring fingerprint (same (K, W) scheme as q_substring_dedup, via
+    the shared _winnow_fp_rows/_WINNOW_CTES machinery) with a benchmark
+    set — here the deterministic doc_id % _BENCH_MOD == 0 slice standing
+    in for the eval table.
+
+    The 100-TB plan shape is the point: benchmark sets are tiny (at most
+    ~1e5 docs), so their fingerprint set BROADCASTS — the corpus side is
+    never shuffled for the membership test, only for the final per-doc
+    rollup.  Output per corpus doc: fingerprint count, benchmark-hit
+    count, and the contaminated flag used to drop or quarantine."""
+    ex = _winnow_fp_rows(fan_out(T(spark, sf, "documents"), "doc_id"))
+    bench = (
+        ex.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("fp").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = ex.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        corpus.join(F.broadcast(bench), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            hits.cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated", (F.col("n_hits") > 0).cast("long")
+        )
     )
 
 

@@ -84,6 +84,8 @@ AUDITS = [
      "note": "round 4: map-only /Annots link-URI harvesting gate (PDF + DOM twins vs spec); single final-agg exchange"}),
     ("q_substring_dedup", {"max_exchanges": 4,
      "note": "round 4: winnowing fingerprints are per-row array folds (grams + window-min never explode); exchanges = fan-out + fp groupBy + fp join + doc groupBy — linear, no pair enumeration"}),
+    ("q_decontaminate", {"broadcast": True,
+     "note": "round 4: benchmark fingerprint set BROADCASTS to the membership join — the corpus side never shuffles for the test, only for the per-doc rollup"}),
     ("q_dup_clusters", {"absent": "CartesianProduct",
      "note": "round 4: label propagation now runs over STAR edges (hub = min doc per (band,bkey) window) — edge count bounded by the 8n band rows instead of within-bucket cliques; fixpoint joins stay equi-keyed, never cartesian"}),
 ]

@@ -15,7 +15,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pdf_extractor_spark.operators.dedup import _SUB_K, _SUB_W, q_substring_dedup
+from pdf_extractor_spark.operators.dedup import (
+    _BENCH_MOD,
+    _SUB_K,
+    _SUB_W,
+    q_decontaminate,
+    q_substring_dedup,
+)
 
 
 def _py_fingerprints(text: str) -> set:
@@ -70,3 +76,28 @@ def test_query_matches_independent_python(spark, sf_dir):
     assert got == expect
     # the fixture corpus must exercise the interesting branch
     assert any(v[1] > 0 for v in expect.values()), "no shared spans in fixture"
+
+
+def test_decontaminate_matches_independent_python(spark, sf_dir):
+    rows = q_decontaminate(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_fp, r.n_hits, r.contaminated) for r in rows}
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"select doc_id, text from read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    fps = {d: _py_fingerprints(t) for d, t in docs}
+    bench: set = set()
+    for d, f in fps.items():
+        if d % _BENCH_MOD == 0:
+            bench |= f
+    expect = {}
+    for d, f in fps.items():
+        if d % _BENCH_MOD == 0 or not f:
+            continue
+        hits = sum(1 for x in f if x in bench)
+        expect[d] = (len(f), hits, 1 if hits else 0)
+    assert got == expect
+    assert any(v[2] for v in expect.values()), "no contamination in fixture"
