@@ -380,6 +380,76 @@ def q_pdf_fontcmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_UCS2_DOCS = 80
+_UCS2_TOTAL_PAGES = 214  # generator spec: sum of planned page counts
+                         # (scripts/derive_kind_expectations.py)
+
+
+@query(
+    "q_pdf_ucs2",
+    # Structural (non-circular) oracle, same discipline as q_pdf_fontcmap:
+    # the SAME document serialized with a simple Type1 font and with a
+    # Type0 font whose ONLY text mapping is the predefined /UniGB-UCS2-H
+    # CMap (no /ToUnicode, no /FontFile2 — the 2-byte codes ARE the UCS-2
+    # code points) must parse to byte-identical text and page structure;
+    # the page total comes from the generator's page plan, not the parser.
+    f"""
+    SELECT CAST({_N_UCS2_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_UCS2_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_UCS2_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_ucs2(spark: SparkSession, sf: str) -> DataFrame:
+    """Predefined-UCS2-CMap gate (the residual of VERDICT round-3 'What's
+    missing' #3 the /FontFile2 fallback doesn't cover: real CJK PDFs name
+    Adobe's Uni*-UCS2 CMaps instead of embedding a ToUnicode stream; the
+    reference reads them via MuPDF's bundled CMap resources,
+    text_extractor.py:51-53): serialize 80 documents with simple AND
+    Type0 /UniGB-UCS2-H fonts, parse both with the kernel
+    (kernels/pdf.py _ucs2_decode — code bytes decode directly as UCS-2),
+    and require text/metadata/page equality per document plus the
+    generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                dialect = "modern" if doc_id % 2 else "classic"
+                rs = parse_pdf(make_pdf(
+                    _random.Random(f"ucs2-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="simple")[0])
+                ru = parse_pdf(make_pdf(
+                    _random.Random(f"ucs2-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid-ucs2")[0])
+                same = (
+                    [p["text"] for p in rs["pages"]]
+                    == [p["text"] for p in ru["pages"]]
+                    and rs["metadata"] == ru["metadata"]
+                    and rs["n_pages"] == ru["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rs["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_UCS2_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
 _N_CRYPT_DOCS = 60
 _CRYPT_TOTAL_PAGES = 158  # generator spec: sum of planned page counts
                           # (scripts/derive_kind_expectations.py)

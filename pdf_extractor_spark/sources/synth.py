@@ -412,6 +412,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     sections); every shown string is a hex string of 2-byte CIDs.  CID
     assignment is a pure function of the document text (no rng draws), so
     TEXT is font-dialect-invariant too.
+    ``font='cid-ucs2'``: a Type0 font with the PREDEFINED /UniGB-UCS2-H
+    CMap — no /ToUnicode and no /FontFile2; shown strings are hex UTF-16BE
+    code units (code == UCS-2 code point).  No rng draws either.
 
     ``encrypt``: None, 'rc4-40', 'rc4-128' or 'aes-128' — standard security
     handler with an EMPTY user password (sources/synth_crypt.py writer).
@@ -461,7 +464,28 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     next_id = 3
     font_id = next_id
     next_id += 1
-    if font in ("cid", "cid-fontfile"):
+    if font == "cid-ucs2":
+        # Type0 with a PREDEFINED UCS2 CMap (/Encoding /UniGB-UCS2-H):
+        # no /ToUnicode, no /FontFile2 — the 2-byte show-string codes ARE
+        # the UCS-2 code points, which is exactly what the parser must
+        # exploit to recover text (kernels/pdf.py _ucs2_decode).
+        desc_id = next_id
+        next_id += 1
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGB "
+            b"/Encoding /UniGB-UCS2-H /DescendantFonts [%d 0 R] >>"
+            % desc_id
+        )
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthGB "
+            b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
+            + b" /Ordering " + strenc(desc_id, "GB1")
+            + b" /Supplement 2 >> /CIDToGIDMap /Identity >>"
+        )
+
+        def encode_string(s: str) -> bytes:
+            return b"<" + s.encode("utf-16-be").hex().encode() + b">"
+    elif font in ("cid", "cid-fontfile"):
         assign = _cid_assignment(page_lines)
         desc_id = next_id
         next_id += 1

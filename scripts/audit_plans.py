@@ -78,6 +78,8 @@ AUDITS = [
      "note": "round 4: map-only PDF-grid serialize + x-cluster table detection gate; single final-agg exchange"}),
     ("q_pdf_fontcmap", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only embedded-TrueType-cmap decode gate (Type0 without /ToUnicode); single final-agg exchange"}),
+    ("q_pdf_ucs2", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 4: map-only predefined-UCS2-CMap decode gate (Type0 without /ToUnicode, code == UCS-2 point); single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only raster-OCR recognition gate (render -> PNG round-trip -> template matching); single final-agg exchange"}),
     ("q_pdf_links", {"arrow_python": True, "max_exchanges": 1,

@@ -65,6 +65,17 @@ def test_pdf_fontcmap_constant_matches_generator_spec():
     assert _FONTCMAP_TOTAL_PAGES == fontcmap_total_pages(_N_FONTCMAP_DOCS)
 
 
+def test_pdf_ucs2_constant_matches_generator_spec():
+    from scripts.derive_kind_expectations import ucs2_total_pages
+
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _N_UCS2_DOCS,
+        _UCS2_TOTAL_PAGES,
+    )
+
+    assert _UCS2_TOTAL_PAGES == ucs2_total_pages(_N_UCS2_DOCS)
+
+
 def test_ocr_raster_constants_match_generator_spec():
     from scripts.derive_kind_expectations import raster_totals
 
