@@ -31,6 +31,7 @@ from pdf_extractor_spark.operators import (  # noqa: E402,F401
     multimodal,
     ocr,
     pipeline_queries,
+    pretrain,
     relational,
     salted,
     similarity,

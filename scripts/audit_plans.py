@@ -74,6 +74,14 @@ AUDITS = [
      "note": "resume primitive as LeftAnti"}),
     ("q_range_join", {"max_exchanges": 3,
      "note": "equi user-key carries the join; time band is a join filter, not a nested loop"}),
+    ("q_pii_scrub", {"max_exchanges": 0, "absent": "Generate",
+     "note": "round 4: PII redaction is a zero-shuffle codegen projection — three regexp passes per row, scan-bound at 100 TB"}),
+    ("q_chunk_tokens", {"max_exchanges": 0, "absent": "Window",
+     "note": "round 4: context-window chunking explodes output-proportionally map-side (Generate) with ZERO exchanges — chunks stream straight to the sink"}),
+    ("q_domain_mix", {"max_exchanges": 2, "absent": "Generate",
+     "note": "round 4: mixture sampling is a row-local md5 predicate; exchanges = the 20-strata audit agg + final sort only — membership itself never shuffles"}),
+    ("q_pack_sequences", {"max_exchanges": 2, "absent": "Generate",
+     "note": "round 4: per-bucket greedy packing — the window's bucket repartition is the only data shuffle (groupBy(bucket,bin) reuses the bucket clustering); + final sort"}),
     ("q_pdf_tables", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only PDF-grid serialize + x-cluster table detection gate; single final-agg exchange"}),
     ("q_pdf_fontcmap", {"arrow_python": True, "max_exchanges": 1,
