@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "q_pdf_tables",        # PDF-native table detection gate (round 4)
     "q_substring_dedup",   # winnowing fingerprints, corpus-wide (round 4)
     "q_decontaminate",     # broadcast benchmark-membership join (round 4)
+    "q_pii_scrub",         # 3-pass regex redaction projection (round 4)
+    "q_chunk_tokens",      # context-window chunking explode (round 4)
+    "q_pack_sequences",    # per-bucket packing window (round 4)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.

@@ -337,14 +337,20 @@ def _winnow_fp_rows(base: DataFrame) -> DataFrame:
         .select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= _SUB_K)
     )
+    # greatest(..., 1) keeps the sequence bound TOTAL: sequence(1, n) turns
+    # DESCENDING for n < 1 (it emits [1, 0, ...]), and Catalyst's filter
+    # pushdown may inline these transforms into a combined predicate that
+    # evaluates BEFORE the size(t)/size(g) guards — slice(t, 0, k) then
+    # throws.  Short rows compute one throwaway gram and are filtered as
+    # before; surviving rows are unchanged.
     grams = F.expr(
-        f"transform(sequence(1, size(t) - {_SUB_K - 1}), "
+        f"transform(sequence(1, greatest(size(t) - {_SUB_K - 1}, 1)), "
         f"i -> md5(cast(concat_ws(' ', slice(t, i, {_SUB_K})) as binary)))"
     )
     g = t.select("doc_id", grams.alias("g")).filter(F.size("g") >= _SUB_W)
     fps = F.array_distinct(
         F.expr(
-            f"transform(sequence(1, size(g) - {_SUB_W - 1}), "
+            f"transform(sequence(1, greatest(size(g) - {_SUB_W - 1}, 1)), "
             f"i -> array_min(slice(g, i, {_SUB_W})))"
         )
     )

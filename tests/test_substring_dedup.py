@@ -101,3 +101,28 @@ def test_decontaminate_matches_independent_python(spark, sf_dir):
         expect[d] = (len(f), hits, 1 if hits else 0)
     assert got == expect
     assert any(v[2] for v in expect.values()), "no contamination in fixture"
+
+
+def test_short_docs_are_total_not_crashing(spark, tmp_path):
+    # sequence(1, n) in Spark turns DESCENDING for n < 1 ([1, 0, ...]), so
+    # if the optimizer ever evaluates the gram transform before the
+    # size(t) >= K guard (filter pushdown / subexpression elimination can
+    # both inline it into a predicate — witnessed on sf0.1), slice(t, 0, K)
+    # throws.  The greatest(..., 1) bounds keep the expression TOTAL: short
+    # docs yield one throwaway gram and are filtered, never a crash.
+    from pdf_extractor_spark.operators.dedup import _winnow_fp_rows
+    from pdf_extractor_spark.operators.registry import fan_out
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "only three tokens"),            # < K tokens
+         (2, "a b c d e f g"),                # K-1 tokens
+         (3, "a b c d e f g h i j"),          # K..K+W-2 grams < W windows
+         (4, " ".join(f"w{i % 5}" for i in range(40))),  # real doc
+         (5, None), (6, "  ")],
+        "doc_id long, text string").write.parquet(p)
+    df = fan_out(spark.read.parquet(p), "doc_id")
+    out = _winnow_fp_rows(df)
+    out.write.format("noop").mode("overwrite").save()
+    rows = out.collect()
+    assert rows and {r.doc_id for r in rows} == {4}
