@@ -128,6 +128,12 @@ def extract_document(payload: bytes) -> dict:
             ]
             title = r["title"]
             meta = {"encoding": r["encoding"]}
+            # additive crawl-policy keys: absent when the doc declares
+            # neither (default corpus), so goldens stay byte-identical
+            if r.get("canonical"):
+                meta["canonical"] = r["canonical"]
+            if r.get("robots"):
+                meta["robots"] = r["robots"]
         else:
             r = tokenizer.tokenize_bytes(payload, sniff_meta=False)
             text = r["text"]

@@ -66,6 +66,8 @@ class _Extractor(HTMLParser):
         self.links: list[str] = []
         self.tables: list[list[list[str | None]]] = []
         self.title_parts: list[str] = []
+        self.canonical: str | None = None  # first <link rel=canonical href>
+        self.robots: str | None = None     # first <meta name=robots content>
         self._cur: Block | None = None
         self._skip_depth = 0
         self._anchor_depth = 0
@@ -99,6 +101,22 @@ class _Extractor(HTMLParser):
                 self.links.append(href)
         if tag == "title":
             self._in_title = True
+        if tag == "link" and self.canonical is None:
+            a = dict(attrs)
+            if (a.get("rel") or "").strip().lower() == "canonical" \
+                    and (a.get("href") or "").strip():
+                self.canonical = a["href"].strip()
+        if tag == "meta" and self.robots is None:
+            a = dict(attrs)
+            if (a.get("name") or "").strip().lower() == "robots":
+                # normalize the directive list: lowercase, trim each token,
+                # canonical ', ' separator — crawl policy compares tokens,
+                # not author formatting
+                toks = [t.strip() for t in (a.get("content") or "")
+                        .lower().split(",")]
+                norm = ", ".join(t for t in toks if t)
+                if norm:
+                    self.robots = norm
         if tag == "table":
             self._table_stack.append([])
         elif tag == "tr" and self._table_stack:
@@ -238,4 +256,9 @@ def parse_html(data: bytes) -> dict:
         "links": p.links,
         "tables": p.tables,
         "encoding": enc,
+        # crawl-policy metadata (first occurrence wins, per WHATWG
+        # duplicate-handling): canonical URL and normalized robots
+        # directives; None when the document declares neither
+        "canonical": p.canonical,
+        "robots": p.robots,
     }

@@ -380,6 +380,78 @@ def q_pdf_fontcmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_CRAWLMETA_DOCS = 80
+
+
+@query(
+    "q_crawl_meta",
+    # Spec-derived (non-circular) oracle: the generator embeds canonical /
+    # robots head elements computed from doc_id — with deliberately messy
+    # author formatting on even ids (upper-case, ragged comma spacing) —
+    # and the parser must recover the NORMALIZED spec values per document.
+    f"""
+    SELECT range AS doc_id,
+           CASE WHEN range % 3 = 0
+                THEN 'https://canon.example.org/d/' || CAST(range // 3 AS VARCHAR)
+                ELSE '' END AS canonical,
+           CASE range % 4 WHEN 1 THEN 'noindex'
+                          WHEN 2 THEN 'noindex, nofollow'
+                          WHEN 3 THEN 'all' ELSE '' END AS robots,
+           CAST(CASE WHEN range % 4 IN (1, 2) THEN 0 ELSE 1 END AS BIGINT)
+             AS indexable
+    FROM range({_N_CRAWLMETA_DOCS})
+    """,
+)
+def q_crawl_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-policy metadata harvest (training-data pipeline extra: a
+    compliant crawl pipeline must honor <link rel=canonical> for dedup and
+    <meta name=robots> noindex for exclusion — the per-document analogue of
+    robots.txt): serialize 80 documents whose head declares spec-derived
+    canonical/robots values — even ids get MESSY author formatting
+    (upper-case directives, ragged comma spacing) — parse with the DOM
+    kernel (kernels/dom.py first-wins harvest + directive normalization),
+    and emit the recovered values per doc.  Map-only, zero exchanges."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.dom import parse_html
+    from ..sources.synth import make_html
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            canon, robots, flag = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                spec_c = (f"https://canon.example.org/d/{doc_id // 3}"
+                          if doc_id % 3 == 0 else None)
+                spec_r = [None, "noindex", "noindex, nofollow",
+                          "all"][doc_id % 4]
+                emit_r = spec_r
+                if spec_r is not None and doc_id % 2 == 0:
+                    emit_r = spec_r.upper().replace(", ", " ,  ")
+                html = make_html(
+                    _random.Random(f"crawlmeta-gate:{doc_id}"), doc_id,
+                    "en", canonical=spec_c, robots=emit_r)
+                r = parse_html(html)
+                canon.append(r["canonical"] or "")
+                robots.append(r["robots"] or "")
+                flag.append(0 if "noindex" in (r["robots"] or "") else 1)
+            yield pd.DataFrame({
+                "doc_id": [int(i) for i in pdf["id"]],
+                "canonical": canon, "robots": robots, "indexable": flag,
+            })
+
+    return (
+        spark.range(0, _N_CRAWLMETA_DOCS, numPartitions=8)
+        .mapInPandas(
+            run,
+            schema="doc_id long, canonical string, robots string, "
+                   "indexable long")
+    )
+
+
 _N_UCS2_DOCS = 80
 _UCS2_TOTAL_PAGES = 214  # generator spec: sum of planned page counts
                          # (scripts/derive_kind_expectations.py)

@@ -219,6 +219,122 @@ def q_domain_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q_bpe_merge_step -----------------------------------------------------
+_BPE_TOP = 10  # merges reported per step
+
+
+@query(
+    "q_bpe_merge_step",
+    f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS w
+            FROM documents WHERE trim(text) <> '')
+      GROUP BY w),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, i, 2))) AS pair,
+             wc
+      FROM vocab WHERE length(w) >= 2)
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS weight
+    FROM pairs GROUP BY pair
+    ORDER BY weight DESC, pair LIMIT {_BPE_TOP}
+    """,
+)
+def q_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE-training merge step (Sennrich et al. 2016): the corpus-wide
+    adjacent-symbol-pair counts whose argmax is the next merge, reported as
+    the top-{_BPE_TOP} candidates (count desc, pair asc tie-break — fully
+    deterministic).
+
+    The classic BPE trick IS the scale story: pairs are counted over the
+    DISTINCT-WORD vocabulary weighted by word frequency, never over corpus
+    positions — after the first vocab groupBy every later stage is
+    vocabulary-bounded (Heaps' law: sublinear in corpus size).  Top-K runs
+    as TakeOrderedAndProject (per-partition heads, single tiny merge)."""
+    d = T(spark, sf, "documents").where(F.trim(F.col("text")) != "")
+    vocab = (
+        d.select(F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    # greatest(..., 1) keeps the bound total (sequence descends below 1 —
+    # same latent-crash class fixed in dedup._winnow_fp_rows); 1-char words
+    # are filtered before the transform anyway
+    pairs = vocab.where(F.length("w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(w) - 1, 1)),"
+            " i -> substring(w, i, 2))")).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(_BPE_TOP)
+    )
+
+
+# --- q_quality_model ------------------------------------------------------
+# Fixed linear model over the per-row features — a fastText-style quality
+# classifier stand-in with public weights.  The combination is a SHARED
+# expression string (identical operand order -> bit-identical doubles in
+# both engines; the features themselves are exact integer divisions).
+_QUALITY_Z_SQL = (
+    "-3.0 + 0.35 * mean_word_len + 4.0 * alpha_word_frac"
+    " + 0.002 * least(n_words, 1000)"
+)
+
+
+@query(
+    "q_quality_model",
+    f"""
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+           {_QUALITY_Z_SQL} AS z,
+           CAST(CASE WHEN {_QUALITY_Z_SQL} > 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS keep
+    FROM (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_words,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+'))
+               AS mean_word_len,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]')))
+                  AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+'))
+               AS alpha_word_frac
+      FROM documents WHERE trim(text) <> '')
+    """,
+)
+def q_quality_model(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality scoring: a fixed linear classifier (the shape of
+    fastText / logreg quality filters in CCNet-style pipelines) over per-row
+    features — mean word length, alphabetic-word fraction, clipped word
+    count.  Inference is a zero-shuffle projection: at 100 TB a broadcast
+    weight vector against per-row folds, here inlined as literals shared
+    verbatim with the oracle (single source, bit-identical arithmetic)."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    feats = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+         / F.size(ws)).alias("mean_word_len"),
+        (F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+         / F.size(ws)).alias("alpha_word_frac"),
+    )
+    z = F.expr(_QUALITY_Z_SQL)
+    return feats.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_frac",
+        z.alias("z"),
+        F.when(z > 0.5, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        .alias("keep"),
+    )
+
+
 # --- q_pack_sequences -----------------------------------------------------
 _N_BUCKETS = 32   # packing parallelism (a real run sizes this so one bucket
 _BIN_TOKENS = 256  # holds a few GB); bin capacity in tokens

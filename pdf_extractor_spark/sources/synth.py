@@ -772,7 +772,12 @@ _HTML_CHARSETS = ["utf-8", "utf-8", "utf-8", "iso-8859-1", "utf-16"]
 
 
 def make_html(rng: random.Random, doc_id: int, lang: str,
-              min_bytes: int = 0) -> bytes:
+              min_bytes: int = 0, canonical: str | None = None,
+              robots: str | None = None) -> bytes:
+    """``canonical``/``robots`` (opt-in, draw-free — default corpus and
+    goldens untouched): emit ``<link rel="canonical">`` / ``<meta
+    name="robots">`` head elements VERBATIM, so a gate can feed messy
+    author formatting and require the parser to normalize it."""
     charset = rng.choice(_HTML_CHARSETS)
     title = _sentence(rng, 4).rstrip(".")
     n_paras = rng.randint(2, 6)
@@ -806,6 +811,10 @@ def make_html(rng: random.Random, doc_id: int, lang: str,
     meta = (
         f'<meta charset="{charset}">' if charset != "utf-16" else ""
     )  # utf-16 detected via BOM, not meta
+    if robots is not None:
+        meta += f'<meta name="robots" content="{robots}">'
+    if canonical is not None:
+        meta += f'<link rel="canonical" href="{canonical}">'
     entity_bits = "&amp; &lt;tag&gt; &#233;" if rng.random() < 0.3 else ""
     doc = f"""<!DOCTYPE html>
 <html lang="{lang}"><head>{meta}<title>{title}</title>

@@ -86,6 +86,12 @@ AUDITS = [
      "note": "round 4: map-only PDF-grid serialize + x-cluster table detection gate; single final-agg exchange"}),
     ("q_pdf_fontcmap", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only embedded-TrueType-cmap decode gate (Type0 without /ToUnicode); single final-agg exchange"}),
+    ("q_bpe_merge_step", {"max_exchanges": 3, "absent": "Window",
+     "note": "round 4: BPE pair counts over the DISTINCT-WORD vocabulary (vocab groupBy -> pair groupBy -> TakeOrdered top-K) — vocabulary-bounded after the first shuffle, never corpus-positional"}),
+    ("q_quality_model", {"max_exchanges": 0, "absent": "Generate",
+     "note": "round 4: linear quality-model inference is a zero-shuffle per-row projection (weights inlined / broadcastable)"}),
+    ("q_crawl_meta", {"arrow_python": True, "max_exchanges": 0,
+     "note": "round 4: map-only canonical/robots harvest gate — per-doc rows straight out of the Arrow stage, zero exchanges"}),
     ("q_pdf_ucs2", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only predefined-UCS2-CMap decode gate (Type0 without /ToUnicode, code == UCS-2 point); single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,

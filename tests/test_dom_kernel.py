@@ -92,3 +92,30 @@ def test_empty_body_and_all_boiler():
 
 def test_deterministic():
     assert parse_html(ARTICLE) == parse_html(ARTICLE)
+
+
+def test_crawl_meta_harvest():
+    page = (b"<html><head>"
+            b"<meta name='robots' content=' NoIndex ,  NOFOLLOW '>"
+            b"<link rel='canonical' href=' https://ex.org/a '>"
+            b"<meta name='robots' content='all'>"              # first wins
+            b"<link rel='canonical' href='https://ex.org/b'>"  # first wins
+            b"</head><body><p>words words words words words words words words"
+            b"</p></body></html>")
+    r = parse_html(page)
+    assert r["canonical"] == "https://ex.org/a"
+    assert r["robots"] == "noindex, nofollow"
+
+
+def test_crawl_meta_absent_is_none():
+    r = parse_html(b"<html><head><meta charset='utf-8'><link rel='stylesheet'"
+                   b" href='/x.css'><meta name='viewport' content='w'></head>"
+                   b"<body><p>words words words words words words words words"
+                   b"</p></body></html>")
+    assert r["canonical"] is None and r["robots"] is None
+
+
+def test_crawl_meta_empty_values_ignored():
+    r = parse_html(b"<html><head><meta name='robots' content=' , '>"
+                   b"<link rel='canonical' href='  '></head><body></body></html>")
+    assert r["canonical"] is None and r["robots"] is None
