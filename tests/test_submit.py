@@ -17,7 +17,16 @@ REPO = Path(__file__).resolve().parent.parent
 def test_spark_submit_py_files(tmp_path):
     spark_submit = shutil.which("spark-submit")
     if spark_submit is None:
-        pytest.skip("spark-submit not on PATH")
+        # the pyspark wheel ships the real launcher scripts; use them when
+        # no system install is on PATH (bin/find-spark-home resolves
+        # SPARK_HOME to the wheel itself)
+        import pyspark
+
+        candidate = (Path(pyspark.__file__).parent / "bin" / "spark-submit")
+        if candidate.is_file() and os.access(candidate, os.X_OK):
+            spark_submit = str(candidate)
+        else:
+            pytest.skip("spark-submit not on PATH nor in the pyspark wheel")
 
     # build the zip the way session.package_zip does, into tmp
     import zipfile
