@@ -106,10 +106,10 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v5: round-3 corpus — CID fonts, 4:2:0/progressive/restart JPEGs, and
-    # RC4-encrypted PDFs — the version tag invalidates any stale
-    # staged corpus (text goldens are unchanged; payload bytes are not)
-    corpus_path = f"/tmp/bench_corpus_v5_{N_EXTRACT}"
+    # v6: round-4 corpus — adds the LZW dialect share, encrypted PDFs on
+    # the hot path, and grid-table pages — the version tag invalidates any
+    # stale staged corpus (text goldens are unchanged; payload bytes are not)
+    corpus_path = f"/tmp/bench_corpus_v6_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -36,6 +36,7 @@ Scale notes (the 100 TB shapes):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -399,4 +400,82 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
         .orderBy("bucket", "bin_id")
+    )
+
+
+# --- q_unicode_norm ---------------------------------------------------------
+# NFC normalization bank: deterministic per-doc suffixes that exercise every
+# UAX #15 composition class — decomposed latin (e+U+0301), combining-mark
+# REORDERING (U+1E0B dot-above + U+0323 dot-below recomposes to U+1E0D
+# U+0307), Hangul jamo composition (LV -> one syllable), a SINGLETON
+# (U+212B ANGSTROM SIGN -> U+00C5, changed but same length), and two
+# NFC-stable controls.  The bank is the single source for BOTH engines; the
+# normalizers are fully independent implementations (CPython unicodedata vs
+# DuckDB's utf8proc), so value equality is a real cross-check, not an echo.
+_NFC_BANK = [
+    "caf\u00e9 composed",               # NFC-stable (precomposed \u00e9)
+    "cafe\u0301 decomposed",            # e + combining acute -> \u00e9
+    "man\u0303ana tilde",               # n + combining tilde -> \u00f1
+    "A\u030angstr\u00f6m ring",        # A + combining ring -> \u00c5
+    "\u1e0b\u0323 reorder",            # dot-above then dot-below, recomposes
+    "\u1100\u1161 hangul jamo",        # L + V jamo -> U+AC00
+    "\u212b angstrom sign",             # singleton -> U+00C5 (length-preserving)
+    "plain ascii tail",                  # NFC-stable
+]
+_NFC_CASE = (
+    "CASE doc_id % 8 "
+    + " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(_NFC_BANK))
+    + " END"
+)
+# Shared augmentation expression (ANSI subset both engines parse verbatim).
+_NFC_AUG = f"trim(text) || ' ' || ({_NFC_CASE})"
+
+
+@query(
+    "q_unicode_norm",
+    f"""
+    SELECT doc_id,
+           CAST(length(aug) AS BIGINT) AS n_cp_before,
+           CAST(length(norm) AS BIGINT) AS n_cp_after,
+           CAST(CASE WHEN aug <> norm THEN 1 ELSE 0 END AS BIGINT) AS changed,
+           md5(norm) AS nfc_md5
+    FROM (SELECT doc_id, aug, nfc_normalize(aug) AS norm
+          FROM (SELECT doc_id, {_NFC_AUG} AS aug
+                FROM documents WHERE trim(text) <> ''))
+    """,
+)
+def q_unicode_norm(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass every
+    tokenizer-bound corpus runs before BPE training (GPT-NeoX / Llama
+    recipes normalize to NFC; un-normalized text splits identical words
+    into distinct tokens).  Each document is augmented with a deterministic
+    suffix from an 8-entry bank covering decomposition, combining-mark
+    reordering, Hangul jamo composition, and singleton substitution, then
+    normalized.
+
+    Spark has no JVM NFC builtin, so normalization runs in a VECTORIZED
+    Arrow pandas UDF over CPython's unicodedata (UAX #15 implementation #1);
+    the oracle normalizes with DuckDB's utf8proc (implementation #2) — the
+    value-hash equality of md5(norm) is a genuine two-implementation
+    conformance check.  Plan shape: pure per-row projection, ZERO exchanges
+    (audit-asserted) — at 100 TB this is a map-only pass fused into the
+    extraction scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    aug = d.select("doc_id", F.expr(_NFC_AUG).alias("aug"))
+    n = aug.withColumn("norm", nfc(F.col("aug")))
+    return n.select(
+        "doc_id",
+        F.length("aug").cast("long").alias("n_cp_before"),
+        F.length("norm").cast("long").alias("n_cp_after"),
+        F.when(F.col("aug") != F.col("norm"), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("changed"),
+        F.md5(F.encode(F.col("norm"), "UTF-8")).alias("nfc_md5"),
     )

@@ -799,3 +799,84 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
                     6).alias("recall_banded"),
         )
     )
+
+
+# --- q_hash_embed -----------------------------------------------------------
+_EMBED_DIMS = 64  # hashing-trick feature width (a real run uses 2^18+; the
+                  # plan shape is dimension-independent)
+
+# Shared bucket function: last two hex chars of md5(word) -> 0..255 -> % dims.
+# Built from primitives both engines evaluate identically (md5 of the UTF-8
+# bytes, hex-char index via position-in-alphabet); Spark needs the explicit
+# binary cast, DuckDB hashes strings directly — same bytes either way.
+_HEX = "0123456789abcdef"
+
+
+def _bucket_spark(w: str = "w") -> str:
+    h = f"md5(cast({w} as binary))"
+    return (
+        f"((locate(substring({h}, 31, 1), '{_HEX}') - 1) * 16"
+        f" + locate(substring({h}, 32, 1), '{_HEX}') - 1) % {_EMBED_DIMS}"
+    )
+
+
+def _bucket_duck(w: str = "w") -> str:
+    h = f"md5({w})"
+    return (
+        f"((strpos('{_HEX}', substring({h}, 31, 1)) - 1) * 16"
+        f" + strpos('{_HEX}', substring({h}, 32, 1)) - 1) % {_EMBED_DIMS}"
+    )
+
+
+@query(
+    "q_hash_embed",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE trim(text) <> ''),
+    b AS (
+      SELECT doc_id, {_bucket_duck()} AS dim
+      FROM (SELECT doc_id, unnest(ws) AS w FROM docs) WHERE w <> ''),
+    c AS (SELECT doc_id, dim, count(*) AS cnt FROM b GROUP BY doc_id, dim)
+    SELECT d.doc_id, CAST(r.range AS BIGINT) AS dim,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM (SELECT doc_id FROM docs) d
+    CROSS JOIN range({_EMBED_DIMS}) r
+    LEFT JOIN c ON c.doc_id = d.doc_id AND c.dim = r.range
+    """,
+)
+def q_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick document featurizer (Weinberger et al. 2009 — the
+    fastText-style bag-of-words embedding): each word hashes to one of
+    {_EMBED_DIMS} dimensions, the document vector is the per-dimension count.
+    This is the step that MANUFACTURES the embedding column the ANN /
+    cosine-dedup family (q_ann_*, q_dedup_cosine) consumes — documents in,
+    fixed-width vectors out.
+
+    Scale shape: the vector is built as a PER-ROW array fold
+    (transform(sequence(0, D-1), d -> count of words in bucket d)) — ZERO
+    shuffles (audit-asserted), unlike the explode + groupBy(doc_id, dim)
+    formulation whose shuffle ships one row per TOKEN (at 100 TB that is
+    the corpus re-keyed ~500 times over).  CPU is O(D * n_words) integer
+    work inside whole-stage codegen; the posexplode to (doc_id, dim, cnt)
+    rows exists only for the value-hash contract — a real pipeline keeps
+    the dense array column."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    words = F.expr(r"filter(split(lower(trim(text)), '\\s+'), w -> w != '')")
+    counts = F.expr(
+        f"transform(sequence(0, {_EMBED_DIMS - 1}), "
+        f"d -> size(filter(ws, w -> ({_bucket_spark()}) = d)))"
+    )
+    return (
+        d.select("doc_id", words.alias("ws"))
+        .select("doc_id", counts.alias("counts"))
+        .select(
+            "doc_id",
+            F.posexplode("counts").alias("dim", "cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )

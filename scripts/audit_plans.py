@@ -92,6 +92,10 @@ AUDITS = [
      "note": "round 4: linear quality-model inference is a zero-shuffle per-row projection (weights inlined / broadcastable)"}),
     ("q_crawl_meta", {"arrow_python": True, "max_exchanges": 0,
      "note": "round 4: map-only canonical/robots harvest gate — per-doc rows straight out of the Arrow stage, zero exchanges"}),
+    ("q_unicode_norm", {"arrow_python": True, "max_exchanges": 0,
+     "note": "round 4: NFC normalization is a zero-shuffle Arrow projection (unicodedata vs utf8proc two-implementation conformance check)"}),
+    ("q_hash_embed", {"max_exchanges": 0,
+     "note": "round 4: hashing-trick featurizer as a per-row array fold — zero shuffles vs the explode+groupBy formulation that would re-key the corpus once per token"}),
     ("q_pdf_ucs2", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only predefined-UCS2-CMap decode gate (Type0 without /ToUnicode, code == UCS-2 point); single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,

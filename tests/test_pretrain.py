@@ -152,3 +152,81 @@ class TestPackSequences:
         got = {(r.bucket, r.bin_id): [r.n_docs, r.n_tokens]
                for r in q_pack_sequences(spark, sf_dir).collect()}
         assert got == want
+
+
+class TestUnicodeNorm:
+    def test_changed_flag_follows_bank(self, spark, sf_dir):
+        # documents text is NFC-stable (extracted ASCII/latin-1 English), so
+        # `changed` is decided entirely by the bank suffix: entries 0 and 7
+        # are NFC-stable, 1-6 are decomposed/singleton forms that normalize
+        from pdf_extractor_spark.operators.pretrain import q_unicode_norm
+
+        rows = q_unicode_norm(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            expected = 0 if r.doc_id % 8 in (0, 7) else 1
+            assert r.changed == expected, (r.doc_id, r.changed)
+
+    def test_matches_stdlib_nfc(self, spark, sf_dir):
+        # independent recompute: read the parquet directly, apply the same
+        # augmentation in Python, normalize with unicodedata, compare md5
+        import hashlib
+        import unicodedata
+
+        import duckdb
+
+        from pdf_extractor_spark.operators.pretrain import (
+            _NFC_BANK,
+            q_unicode_norm,
+        )
+
+        got = {r.doc_id: r.nfc_md5
+               for r in q_unicode_norm(spark, sf_dir).collect()}
+        docs = duckdb.sql(
+            f"select doc_id, text from "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            f"where trim(text) <> ''"
+        ).fetchall()
+        assert len(docs) == len(got)
+        for doc_id, text in docs:
+            aug = text.strip() + " " + _NFC_BANK[doc_id % 8]
+            norm = unicodedata.normalize("NFC", aug)
+            exp = hashlib.md5(norm.encode("utf-8")).hexdigest()
+            assert got[doc_id] == exp, doc_id
+
+
+class TestHashEmbed:
+    def test_conserves_tokens_and_matches_stdlib(self, spark, sf_dir):
+        # per-doc sum of dimension counts == word count, and every vector
+        # equals a pure-Python hashing-trick recompute over the raw parquet
+        import hashlib
+        import re as _re
+        from collections import Counter
+
+        import duckdb
+
+        from pdf_extractor_spark.operators.similarity import (
+            _EMBED_DIMS,
+            q_hash_embed,
+        )
+
+        vecs: dict[int, dict[int, int]] = {}
+        for r in q_hash_embed(spark, sf_dir).collect():
+            vecs.setdefault(r.doc_id, {})[r.dim] = r.cnt
+        docs = duckdb.sql(
+            f"select doc_id, text from "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            f"where trim(text) <> ''"
+        ).fetchall()
+        assert len(docs) == len(vecs)
+        for doc_id, text in docs:
+            words = [w for w in _re.split(r"\s+", text.strip().lower()) if w]
+            exp = Counter(
+                int(hashlib.md5(w.encode()).hexdigest()[30:32], 16)
+                % _EMBED_DIMS
+                for w in words
+            )
+            v = vecs[doc_id]
+            assert len(v) == _EMBED_DIMS          # dense: all dims present
+            assert sum(v.values()) == len(words)  # token conservation
+            assert {d: c for d, c in v.items() if c} == dict(exp), doc_id
