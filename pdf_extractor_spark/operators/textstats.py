@@ -805,3 +805,101 @@ def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
             "repetitive",
         ).otherwise("ok").alias("verdict"),
     )
+
+
+# --- q_kmv_distinct ---------------------------------------------------------
+_KMV_K = 256  # sketch size; estimate std-error ~ 1/sqrt(K-2) ~ 6%
+
+# Fraction of the hash space below a fixed-length hex hash: the first 12 hex
+# digits as an exact 48-bit integer over 16^12.  Every intermediate is an
+# exact power-of-two-scaled integer < 2^48, so BOTH parses (Spark's conv()
+# vs DuckDB's digit-sum) land on the SAME double bit pattern — the estimate
+# division is then a single identical IEEE op in each engine.
+_KMV_FRAC_SPARK = (
+    "cast(conv(substring(kth, 1, 12), 16, 10) as double)"
+    " / cast(pow(16, 12) as double)"
+)
+_KMV_FRAC_DUCK = (
+    "list_sum(list_transform(range(12), i -> "
+    "(strpos('0123456789abcdef', substring(kth, i + 1, 1)) - 1)"
+    " * 16.0 ** (11 - i))) / 16.0 ** 12"
+)
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH t AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''),
+    h AS (
+      SELECT DISTINCT md5(g) AS h
+      FROM (SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+                          i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                     AS g
+            FROM t WHERE len(t) >= 3)),
+    sk AS (SELECT max(h) AS kth, count(*) AS k_used
+           FROM (SELECT h FROM h ORDER BY h LIMIT {_KMV_K})),
+    ex AS (SELECT count(*) AS exact_distinct FROM h)
+    SELECT CAST(k_used AS BIGINT) AS k_used, kth,
+           ({_KMV_FRAC_DUCK.replace('kth', 'sk.kth')}) AS kth_frac,
+           CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+                ELSE ({_KMV_K} - 1)
+                     / ({_KMV_FRAC_DUCK.replace('kth', 'sk.kth')}) END
+             AS est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM sk, ex
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch (Bar-Yossef et al. 2002)
+    over distinct 3-token shingles — the "how much unique text is there"
+    estimator that sizes dedup work without a full distinct count.
+    Estimate = (K-1) / frac(kth smallest hash), with the standard exact
+    fallback when fewer than K distinct values exist; fixed-length hex md5
+    makes LEXICOGRAPHIC order numeric order, so the whole sketch is order
+    statistics over strings both engines compute identically —
+    bit-identical doubles, unlike HLL whose register layouts differ per
+    implementation (Spark's approx_count_distinct can never oracle-match
+    DuckDB's).
+
+    Scale shape: shingling is a per-row transform (same gram machinery as
+    q_substring_dedup); Catalyst runs the distinct as partial map-side
+    dedup, and the k-min as TakeOrdered — the driver merges only K rows
+    per partition.  A production variant pre-filters h < c*K/n_expected
+    map-side so almost nothing shuffles at all.  exact_distinct is the
+    gate's ground-truth column, not part of the sketch."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    t = d.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    # greatest(..., 1) keeps sequence() total for short rows (see
+    # dedup._winnow_fp_rows — same latent-descending-sequence class)
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(t) - 2, 1)), "
+        "i -> concat_ws(' ', slice(t, i, 3)))"
+    )
+    h = (
+        t.select(F.explode(shingles).alias("g"))
+        .select(F.md5(F.col("g").cast("binary")).alias("h"))
+        .distinct()
+    )
+    sk = (
+        h.orderBy("h").limit(_KMV_K)
+        .agg(F.max("h").alias("kth"),
+             F.count(F.lit(1)).cast("long").alias("k_used"))
+    )
+    ex = h.agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    frac = F.expr(_KMV_FRAC_SPARK)
+    return (
+        sk.crossJoin(ex)  # 1 row x 1 row
+        .select(
+            "k_used", "kth",
+            frac.alias("kth_frac"),
+            F.when(F.col("k_used") < _KMV_K,
+                   F.col("k_used").cast("double"))
+            .otherwise(F.lit(float(_KMV_K - 1)) / frac)
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+    )

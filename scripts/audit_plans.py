@@ -96,6 +96,8 @@ AUDITS = [
      "note": "round 4: NFC normalization is a zero-shuffle Arrow projection (unicodedata vs utf8proc two-implementation conformance check)"}),
     ("q_hash_embed", {"max_exchanges": 0,
      "note": "round 4: hashing-trick featurizer as a per-row array fold — zero shuffles vs the explode+groupBy formulation that would re-key the corpus once per token"}),
+    ("q_kmv_distinct", {"max_exchanges": 5, "absent": "Window",
+     "note": "round 4: KMV sketch — map-side partial distinct + TakeOrdered k-min (driver merges K rows/partition); exchanges are the vocabulary-bounded distinct + two 1-row aggs + broadcast cross of two singletons"}),
     ("q_pdf_ucs2", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only predefined-UCS2-CMap decode gate (Type0 without /ToUnicode, code == UCS-2 point); single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,
