@@ -332,10 +332,18 @@ def _winnow_fp_rows(base: DataFrame) -> DataFrame:
     nothing explodes until the ~1/W sampled fingerprints.  The Spark twin
     of _WINNOW_CTES."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # One combined filter on the TOKEN count, not on the computed gram
+    # array: for size(t) >= K, size(g) == size(t) - K + 1 exactly, so
+    # "size(g) >= W" is equivalent to "size(t) >= K + W - 1".  Filtering on
+    # size(g) inlines the whole md5-gram transform into the predicate, and
+    # filter pushdown then evaluates it BELOW the fan-out exchange — every
+    # gram hashed twice, the first time single-task (measured 5.0 s -> the
+    # cheap-predicate form at sf0.1).  Same selected rows as the oracle's
+    # len(t) >= K / len(g) >= W chain.
     t = (
         base.filter(F.trim(F.col("text")) != "")
         .select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= _SUB_K)
+        .filter(F.size("t") >= _SUB_K + _SUB_W - 1)
     )
     # greatest(..., 1) keeps the sequence bound TOTAL: sequence(1, n) turns
     # DESCENDING for n < 1 (it emits [1, 0, ...]), and Catalyst's filter
@@ -347,7 +355,7 @@ def _winnow_fp_rows(base: DataFrame) -> DataFrame:
         f"transform(sequence(1, greatest(size(t) - {_SUB_K - 1}, 1)), "
         f"i -> md5(cast(concat_ws(' ', slice(t, i, {_SUB_K})) as binary)))"
     )
-    g = t.select("doc_id", grams.alias("g")).filter(F.size("g") >= _SUB_W)
+    g = t.select("doc_id", grams.alias("g"))  # size(g) >= W by the filter above
     fps = F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(size(g) - {_SUB_W - 1}, 1)), "
