@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "q_pii_scrub",         # 3-pass regex redaction projection (round 4)
     "q_chunk_tokens",      # context-window chunking explode (round 4)
     "q_pack_sequences",    # per-bucket packing window (round 4)
+    "q_bpe_merge_step",    # vocabulary-bounded BPE pair counts (round 4)
+    "q_unicode_norm",      # Arrow NFC normalization projection (round 4)
+    "q_hash_embed",        # zero-shuffle hashing-trick featurizer (round 4)
+    "q_kmv_distinct",      # KMV distinct-shingle sketch (round 4)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.

@@ -50,8 +50,9 @@ N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "200000"))
 GEN_PARTS = 64
 ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
 RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "2"))
-# v5: round-3 generator content (CID fonts, 420/progressive JPEG, RC4-encrypted PDFs)
-CORPUS = f"/tmp/scale_corpus_v5_{N_DOCS}"
+# v6: round-4 generator content (adds LZW content streams, encrypted hot
+# path, grid-table pages — the tag invalidates stale staged corpora)
+CORPUS = f"/tmp/scale_corpus_v6_{N_DOCS}"
 OUT = "/tmp/scale_out"
 SIZES = [4, 8, 16]  # N, 2N, 4N
 
