@@ -80,3 +80,22 @@ def test_crlf_vs_lf_converge():
     a = tokenize_bytes(b"p1\r\n\r\np2")["text"]
     b = tokenize_bytes(b"p1\n\np2")["text"]
     assert a == b == "p1\n\np2"
+
+
+def test_hspace_fast_path_equivalence():
+    """The ASCII no-tab no-double-space fast path must be byte-equivalent
+    to the _HSPACE_RE pipeline on adversarial single-line strings."""
+    import random
+
+    from pdf_extractor_spark.kernels.tokenizer import (
+        _HSPACE_RE,
+        canonical_whitespace,
+    )
+
+    rng = random.Random(7)
+    alphabet = (list("ab c\t") +
+                ["\xa0", " ", "　", " ", "  ", "x",
+                 "\x0b", "\f", "\x85"])
+    for _ in range(20000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        assert canonical_whitespace(s) == _HSPACE_RE.sub(" ", s).strip(), repr(s)
