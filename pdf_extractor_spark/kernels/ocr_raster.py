@@ -26,6 +26,7 @@ chain (ocr_extractor.py:105 renders the page to a pixmap first).
 from __future__ import annotations
 
 import random
+import re
 
 import numpy as np
 
@@ -186,3 +187,22 @@ def recognize_text(img: np.ndarray) -> tuple[str, list[int]]:
         chars.append(best_ch)
         confs.append(int(round(50 + 45 * min(1.0, max(0.0, best_score)))))
     return "".join(chars), confs
+
+
+_RUN_RE = re.compile(r"\S+(?: \S+)*")
+
+
+def line_runs(text: str) -> list[dict]:
+    """Recognized line -> positioned runs [{x, text}], the shape
+    kernels/pdf._detect_tables clusters into table columns.
+
+    On a fixed-pitch raster the character index IS the x coordinate (pixel
+    x / (PITCH * scale)), so maximal word groups separated by >= 2 spaces —
+    single spaces stay inside a run, they separate words WITHIN a cell —
+    are exactly what a box-merging OCR table extractor derives from word
+    geometry (the reference feeds tesseract boxes to the same discipline,
+    ocr_extractor.py extract_tables_ocr)."""
+    return [
+        {"x": float(m.start()), "text": m.group(0)}
+        for m in _RUN_RE.finditer(text)
+    ]

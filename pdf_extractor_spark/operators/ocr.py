@@ -322,3 +322,81 @@ def q_ocr_raster(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("l").cast("long").alias("total_lines"),
         F.sum("c").cast("long").alias("total_chars"),
     )
+
+
+_N_OCRTABLE_DOCS = 50
+_OCRTABLE_ROWS = 222  # generator spec: sum of per-doc spec-rng row counts
+# (re-derived from the spec rng on every pytest run by
+# tests/test_ocr_tables.py::test_gate_constants_match_spec)
+
+
+@query(
+    "q_ocr_tables",
+    # Spec-derived (non-circular) oracle, same discipline as q_pdf_tables:
+    # totals come from the generator's spec rng, never from the recognizer
+    # or the detector; n_match == n_docs is the gate.
+    f"""
+    SELECT CAST({_N_OCRTABLE_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_OCRTABLE_DOCS} AS BIGINT) AS n_match,
+           CAST({_N_OCRTABLE_DOCS} AS BIGINT) AS total_tables,
+           CAST({_OCRTABLE_ROWS} AS BIGINT) AS total_rows
+    """,
+)
+def q_ocr_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """OCR-raster table extraction gate (reference extract_tables_ocr,
+    ocr_extractor.py — rasterize the page, OCR it, merge word boxes into
+    cells, cluster cells into a grid): the SAME grid specs q_pdf_tables
+    verifies through the PDF and DOM parsers are rendered as fixed-pitch
+    raster lines (sources/synth.table_spec_fixed_pitch), noised, PNG
+    round-tripped, recognized from pixels (kernels/ocr_raster), split into
+    positioned runs (line_runs — char index IS x on a fixed-pitch grid),
+    and clustered by the SAME x-alignment detector the PDF kernel uses
+    (kernels/pdf._detect_tables).  A doc matches only when the detected
+    table equals the spec rows exactly, None-for-empty included — the
+    third rendering of one logical grid, recovered through the noisiest
+    channel.  Map-only Arrow stage + single final agg."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..kernels.ocr_raster import line_runs, recognize_text, render_text
+    from ..kernels.pdf import _detect_tables
+    from ..kernels.png import decode_png, encode_png
+    from ..sources.synth import make_table_spec, table_spec_fixed_pitch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, ntab, nrow = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                spec = make_table_spec(
+                    _random.Random(f"ocr-table-spec:{doc_id}"))
+                rec = []
+                for ln_i, line in enumerate(
+                        table_spec_fixed_pitch(spec)):
+                    img = render_text(line, scale=2, noise=0.02,
+                                      seed=f"ocrtab:{doc_id}:{ln_i}")
+                    png = encode_png(img.shape[1], img.shape[0],
+                                     img.tobytes(), channels=1)
+                    w, h, ch, px = decode_png(png)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                    got, _confs = recognize_text(arr)
+                    rec.append(got)
+                tables = _detect_tables([line_runs(ln) for ln in rec])
+                match.append(1 if tables == [spec["rows"]] else 0)
+                ntab.append(len(tables))
+                nrow.append(sum(len(t) for t in tables))
+            yield pd.DataFrame({"m": match, "t": ntab, "r": nrow})
+
+    per_doc = (
+        spark.range(0, _N_OCRTABLE_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, t int, r int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum("t").cast("long").alias("total_tables"),
+        F.sum("r").cast("long").alias("total_rows"),
+    )

@@ -853,30 +853,39 @@ def q_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
     cosine-dedup family (q_ann_*, q_dedup_cosine) consumes — documents in,
     fixed-width vectors out.
 
-    Scale shape: the vector is built as a PER-ROW array fold
-    (transform(sequence(0, D-1), d -> count of words in bucket d)) — ZERO
-    shuffles (audit-asserted), unlike the explode + groupBy(doc_id, dim)
-    formulation whose shuffle ships one row per TOKEN (at 100 TB that is
-    the corpus re-keyed ~500 times over).  CPU is O(D * n_words) integer
-    work inside whole-stage codegen; the posexplode to (doc_id, dim, cnt)
-    rows exists only for the value-hash contract — a real pipeline keeps
-    the dense array column."""
+    Scale shape: each word is hashed ONCE in a per-row transform (a
+    dims-by-words probe fold would recompute the hash per dimension —
+    measured 45 s vs ~2 s at sf0.1); the bucket ints explode and hit a
+    groupBy(doc_id, dim) whose map-side partial aggregation collapses the
+    shuffle to <= {_EMBED_DIMS} rows per doc per partition — the shuffle is
+    bounded by docs x dims, never by tokens.  The dense (zero-filled)
+    vector rows come from a sequence explode + one co-partitioned join."""
     d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
-    words = F.expr(r"filter(split(lower(trim(text)), '\\s+'), w -> w != '')")
-    counts = F.expr(
-        f"transform(sequence(0, {_EMBED_DIMS - 1}), "
-        f"d -> size(filter(ws, w -> ({_bucket_spark()}) = d)))"
+    # one md5 per WORD: hash to the last-2-hex-chars string, then map the
+    # string to its bucket int — two cheap array passes, no rehash per dim
+    hs = F.expr(
+        r"transform(filter(split(lower(trim(text)), '\\s+'), w -> w != ''),"
+        r" w -> substring(md5(cast(w as binary)), 31, 2))"
+    )
+    buckets = F.expr(
+        f"transform(hs, h -> ((locate(substring(h, 1, 1), '{_HEX}') - 1) * 16"
+        f" + locate(substring(h, 2, 1), '{_HEX}') - 1) % {_EMBED_DIMS})"
+    )
+    counts = (
+        d.select("doc_id", hs.alias("hs"))
+        .select("doc_id", F.explode(buckets).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dense = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_EMBED_DIMS - 1))).alias("dim"),
     )
     return (
-        d.select("doc_id", words.alias("ws"))
-        .select("doc_id", counts.alias("counts"))
-        .select(
-            "doc_id",
-            F.posexplode("counts").alias("dim", "cnt"),
-        )
+        dense.join(counts, ["doc_id", "dim"], "left")
         .select(
             "doc_id",
             F.col("dim").cast("long").alias("dim"),
-            F.col("cnt").cast("long").alias("cnt"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
         )
     )

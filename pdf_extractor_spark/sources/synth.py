@@ -920,3 +920,22 @@ def gen_corpus(n_docs: int, seed: int = 42, **kw):
     """Yield ``n_docs`` deterministic rows."""
     for doc_id in range(n_docs):
         yield gen_doc(doc_id, seed=seed, **kw)
+
+
+def table_spec_fixed_pitch(spec: dict) -> list[str]:
+    """Render a table spec as fixed-pitch text lines — the OCR twin of the
+    positioned-PDF and HTML renderings (q_pdf_tables): each column is
+    left-aligned and padded to its widest cell + 3 spaces, so cell starts
+    land on exact shared character offsets (>= 2-space gaps separate cells
+    from the single spaces inside multi-word cells).  None renders as
+    blanks; trailing blanks are stripped per line."""
+    rows = spec["rows"]
+    n_cols = len(rows[0])
+    colw = [
+        max([len(c) for r in rows if (c := r[j]) is not None] or [0]) + 3
+        for j in range(n_cols)
+    ]
+    return [
+        "".join((c or "").ljust(colw[j]) for j, c in enumerate(r)).rstrip()
+        for r in rows
+    ]
