@@ -903,3 +903,51 @@ def q_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# --- q_char_entropy ---------------------------------------------------------
+@query(
+    "q_char_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE trim(text) <> ''),
+    k AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(sum(cnt) AS DOUBLE))
+                 - sum(cnt * log2(CAST(cnt AS DOUBLE)))
+                   / CAST(sum(cnt) AS DOUBLE), 6) AS entropy
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    quality signal (low entropy flags repetitive boilerplate / padding /
+    encoding garbage; high flags binary-ish noise).  Computed via the
+    algebraic identity H = log2(n) - (sum c*log2 c)/n so the only float
+    inputs are INTEGER counts; the cross-group sum is order-sensitive in
+    the last ulp, so the result is rounded to 6 dp on both engines
+    (registry portability rule for aggregated doubles).
+
+    Scale shape (the q_hash_embed lesson applied): the char explode never
+    reaches the shuffle — map-side partial aggregation collapses
+    (doc_id, ch) to at most |alphabet| rows per doc per partition, so the
+    shuffle is bounded by docs x alphabet, not by corpus characters."""
+    d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
+    k = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    return k.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log2(n) - F.sum(F.col("cnt") * F.log2(F.col("cnt"))) / n, 6
+        ).alias("entropy"),
+    )

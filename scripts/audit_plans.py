@@ -96,6 +96,8 @@ AUDITS = [
      "note": "round 4: NFC normalization is a zero-shuffle Arrow projection (unicodedata vs utf8proc two-implementation conformance check)"}),
     ("q_hash_embed", {"max_exchanges": 4,
      "note": "round 4: hashing-trick featurizer — ONE md5 per word (per-row transform), bucket-int explode into a map-side-combined groupBy (shuffle bounded by docs x dims, never tokens) + dense-fill join; the zero-shuffle dims-by-words probe fold rehashed every word per dimension (measured 45 s vs 2 s at sf0.1)"}),
+    ("q_char_entropy", {"max_exchanges": 2, "absent": "Window",
+     "note": "round 4: char entropy — the explode never reaches the shuffle: map-side partial agg collapses (doc_id, ch) to <= |alphabet| rows/doc/partition, shuffle bounded by docs x alphabet"}),
     ("q_kmv_distinct", {"max_exchanges": 5, "absent": "Window",
      "note": "round 4: KMV sketch — map-side partial distinct + TakeOrdered k-min (driver merges K rows/partition); exchanges are the vocabulary-bounded distinct + two 1-row aggs + broadcast cross of two singletons"}),
     ("q_pdf_ucs2", {"arrow_python": True, "max_exchanges": 1,
