@@ -309,6 +309,31 @@ def _ascii85_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# Decompression-bomb guard (real-crawl hazard at 100 TB: ONE hostile
+# document must never OOM an executor).  Flate expands ~1000:1, RunLength
+# up to 64:1, LZW up to ~1365:1, and a chained /Filter array multiplies the
+# stages — so every EXPANDING decoder bounds its output and error-routes
+# beyond the cap (the module's standard policy for out-of-dialect input).
+# 64 MiB is far above any legitimate content/ToUnicode/ObjStm stream.
+MAX_DECODED_BYTES = 64 << 20
+
+
+def _flate_decode(data: bytes) -> bytes:
+    """Bounded FlateDecode: decompress at most MAX_DECODED_BYTES + 1 bytes
+    (streaming, so a bomb never materializes), then error-route."""
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, MAX_DECODED_BYTES + 1)
+        if len(out) <= MAX_DECODED_BYTES:
+            out += d.flush(MAX_DECODED_BYTES + 1 - len(out))
+    except zlib.error as e:
+        raise PdfError(f"FlateDecode failed: {e}") from e
+    if len(out) > MAX_DECODED_BYTES:
+        raise PdfError(
+            f"FlateDecode output exceeds {MAX_DECODED_BYTES} bytes")
+    return out
+
+
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
     """LZWDecode (PDF 32000-1 §7.4.4 — the TIFF variant): MSB-first
     variable-width codes 9→12 bits, 256=ClearTable, 257=EOD, /EarlyChange
@@ -355,6 +380,9 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             if len(dic) < 4096:
                 dic.append(prev_entry + entry[:1])
         out += entry
+        if len(out) > MAX_DECODED_BYTES:
+            raise PdfError(
+                f"LZWDecode output exceeds {MAX_DECODED_BYTES} bytes")
         prev_entry = entry
         if width < 12 and len(dic) >= (1 << width) - early:
             width += 1
@@ -374,6 +402,9 @@ def _run_length_decode(data: bytes) -> bytes:
         else:
             out += data[i + 1:i + 2] * (257 - length)
             i += 2
+        if len(out) > MAX_DECODED_BYTES:
+            raise PdfError(
+                f"RunLengthDecode output exceeds {MAX_DECODED_BYTES} bytes")
     return bytes(out)
 
 
@@ -822,10 +853,7 @@ class Document:
             f = self.resolve(f)
             p = self.resolve(p)
             if f == "FlateDecode":
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise PdfError(f"FlateDecode failed: {e}") from e
+                data = _flate_decode(data)
                 data = self._unpredict(data, p)
             elif f == "ASCIIHexDecode":
                 data = _ascii_hex_decode(data)

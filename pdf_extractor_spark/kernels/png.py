@@ -227,10 +227,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or channels is None:
         raise PngError("no IHDR")
+    # Bomb guard: the decoded size is fully determined by IHDR (pixels +
+    # one filter tag per row; Adam7's seven sub-images add < 2*height rows
+    # total), so decompress STREAMING up to that bound + 1 and error-route
+    # beyond — hostile IDAT can never materialize more than the header
+    # declares.  A hostile IHDR is bounded by the absolute pixel cap.
+    if width * height * channels > 256 << 20:
+        raise PngError(f"declared image too large: {width}x{height}")
+    cap = width * height * channels + 2 * (height + 8) + 1024
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), cap + 1)
+        if len(raw) <= cap:
+            raw += d.flush(cap + 1 - len(raw))
     except zlib.error as e:
         raise PngError(f"IDAT inflate failed: {e}") from e
+    if len(raw) > cap:
+        raise PngError("IDAT inflates beyond the declared geometry")
 
     if not interlaced:
         px, _ = _unfilter(raw, width, height, channels)

@@ -456,3 +456,104 @@ def test_lzw_streams_parse_in_modern_dialect():
         assert [p["text"] for p in rc["pages"]] == \
                [p["text"] for p in rm["pages"]]
     assert seen_lzw >= 10 and seen_ec0 >= 3
+
+
+# ---------------------------------------------------------------------------
+# Decompression-bomb guards (real-crawl hazard: one hostile doc must never
+# OOM an executor; policy = bounded streaming decode + error-route)
+# ---------------------------------------------------------------------------
+def test_flate_bomb_error_routes_without_materializing():
+    from pdf_extractor_spark.kernels.pdf import (
+        MAX_DECODED_BYTES,
+        PdfError,
+        _flate_decode,
+    )
+
+    bomb = zlib.compress(b"\x00" * (MAX_DECODED_BYTES + 4096), 9)
+    assert len(bomb) < 1 << 20  # the attack payload itself is tiny
+    with pytest.raises(PdfError, match="exceeds"):
+        _flate_decode(bomb)
+    # just under the cap still decodes
+    ok = zlib.compress(b"\x00" * 4096, 9)
+    assert _flate_decode(ok) == b"\x00" * 4096
+
+
+def test_runlength_bomb_error_routes():
+    from pdf_extractor_spark.kernels.pdf import (
+        MAX_DECODED_BYTES,
+        PdfError,
+        _run_length_decode,
+    )
+
+    reps = MAX_DECODED_BYTES // 128 + 16
+    bomb = b"\x81\x00" * reps  # each 2-byte pair expands to 128 zeros
+    with pytest.raises(PdfError, match="exceeds"):
+        _run_length_decode(bomb)
+
+
+def test_lzw_bomb_error_routes(monkeypatch):
+    import pdf_extractor_spark.kernels.pdf as pdfmod
+    from pdf_extractor_spark.sources.synth import _lzw_encode
+
+    monkeypatch.setattr(pdfmod, "MAX_DECODED_BYTES", 1000)
+    with pytest.raises(pdfmod.PdfError, match="exceeds"):
+        pdfmod._lzw_decode(_lzw_encode(b"\x00" * 4096))
+    assert pdfmod._lzw_decode(_lzw_encode(b"\x00" * 999)) == b"\x00" * 999
+
+
+def test_bombed_pdf_error_routes_at_dispatch():
+    from pdf_extractor_spark.kernels.dispatch import extract_document
+    from pdf_extractor_spark.kernels.pdf import MAX_DECODED_BYTES
+
+    pdf = _tiny_pdf(b"\x00" * (MAX_DECODED_BYTES + 4096), compress=True)
+    assert len(pdf) < 1 << 20  # the hostile document itself is tiny
+    r = extract_document(pdf)
+    assert r["status"] == "error"
+    assert "exceeds" in (r["error"] or "")
+
+
+def test_png_idat_bomb_error_routes():
+    import struct
+
+    from pdf_extractor_spark.kernels.png import PngError, decode_png, encode_png
+
+    # valid 4x4 gray PNG, then replace IDAT with a stream inflating far
+    # beyond the declared geometry
+    good = encode_png(4, 4, bytes(16), channels=1)
+    sig_end = 8
+    # walk chunks, rebuild with a bombed IDAT
+    out = bytearray(good[:sig_end])
+    pos = sig_end
+    while pos < len(good):
+        (length,) = struct.unpack(">I", good[pos:pos + 4])
+        tag = good[pos + 4:pos + 8]
+        body = good[pos + 8:pos + 8 + length]
+        if tag == b"IDAT":
+            body = zlib.compress(b"\x00" * (1 << 22), 9)  # 4 MiB vs 36 B
+            length = len(body)
+        out += struct.pack(">I", length) + tag + body
+        out += zlib.crc32(tag + body).to_bytes(4, "big")
+        pos += 12 + struct.unpack(">I", good[pos:pos + 4])[0]
+    with pytest.raises(PngError, match="beyond the declared geometry"):
+        decode_png(bytes(out))
+    # untouched image still decodes
+    assert decode_png(good)[3] == bytes(16)
+
+
+def test_png_giant_ihdr_error_routes():
+    import struct
+
+    from pdf_extractor_spark.kernels.png import PngError, decode_png, encode_png
+
+    good = encode_png(4, 4, bytes(16), channels=1)
+    # rewrite IHDR to claim a 65535x65535 RGBA image
+    ihdr_at = good.index(b"IHDR")
+    body = bytearray(good[ihdr_at + 4:ihdr_at + 4 + 13])
+    body[0:8] = struct.pack(">II", 65535, 65535)
+    body[9] = 6  # RGBA
+    patched = bytearray(good)
+    patched[ihdr_at + 4:ihdr_at + 4 + 13] = body
+    patched[ihdr_at + 17:ihdr_at + 21] = zlib.crc32(
+        b"IHDR" + bytes(body)).to_bytes(4, "big")
+    with pytest.raises(PngError, match="too large"):
+        decode_png(bytes(patched))
