@@ -82,13 +82,17 @@ class _Lexer:
         self.pos = pos
 
     def _skip_ws(self) -> None:
+        # byte loop, not regex: whitespace runs are almost always 0-1 bytes
+        # between tokens, where the regex CALL dominates (profiled: _skip_ws
+        # was the #2 kernel hotspot at ~1 µs/call; the `in` test is ~60 ns)
         d, n = self.data, len(self.data)
         pos = self.pos
-        while True:
-            m = _WS_RE.match(d, pos)
-            if m:
-                pos = m.end()
-            if pos < n and d[pos] == 0x25:  # '%' comment to EOL
+        while pos < n:
+            b = d[pos]
+            if b in _WS:
+                pos += 1
+                continue
+            if b == 0x25:  # '%' comment to EOL
                 nl = d.find(b"\n", pos)
                 pos = n if nl < 0 else nl + 1
                 continue
@@ -128,13 +132,15 @@ class _Lexer:
                     self.pos += 1
                     return arr
                 arr.append(self.parse_object())
-        if d.startswith(b"true", self.pos):
+        # keyword probes gated on the first byte: numbers/refs are the
+        # dominant case and should not pay three startswith calls each
+        if c == 0x74 and d.startswith(b"true", self.pos):  # 't'
             self.pos += 4
             return True
-        if d.startswith(b"false", self.pos):
+        if c == 0x66 and d.startswith(b"false", self.pos):  # 'f'
             self.pos += 5
             return False
-        if d.startswith(b"null", self.pos):
+        if c == 0x6E and d.startswith(b"null", self.pos):  # 'n'
             self.pos += 4
             return None
         m = _NUM_RE.match(d, self.pos)
