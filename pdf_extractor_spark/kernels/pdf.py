@@ -311,6 +311,8 @@ def _ascii85_decode(data: bytes) -> bytes:
             n = 0
             for g in group:
                 n = n * 85 + g
+            if n > 0xFFFFFFFF:  # max group is 's8W-!' (2^32 - 1)
+                raise PdfError("ASCII85Decode: group value overflow")
             out += n.to_bytes(4, "big")
             group = []
     if group:
@@ -321,6 +323,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         n = 0
         for g in padded:
             n = n * 85 + g
+        if n > 0xFFFFFFFF:  # 'u'-padding can push a partial group past 2^32
+            raise PdfError("ASCII85Decode: group value overflow")
         out += n.to_bytes(4, "big")[: k - 1]
     return bytes(out)
 

@@ -6,7 +6,7 @@ idempotent.  The reference has no tests at all (SURVEY §5.1); these pin the
 "hostile web bytes" behavior a crawl-scale pipeline actually meets.
 """
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from pdf_extractor_spark.kernels.dispatch import assemble_doc_text, extract_document
@@ -168,6 +168,8 @@ def test_pdf_dialects_parse_identically(seed):
 
 
 @settings(max_examples=120, deadline=None)
+@example(b"s8")  # 'u'-padded trailing group overflows 2^32 (round-4 verdict)
+@example(b"uuuuu")  # full group above 's8W-!' overflows 2^32
 @given(st.binary(max_size=512))
 def test_filter_decoders_total_or_pdf_error(data):
     """ASCIIHex/ASCII85/RLE/predictor decoders must raise PdfError or return
