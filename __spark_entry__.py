@@ -57,6 +57,24 @@ def _module_md5(path: Path, _cache: dict = {}) -> str:
     return _cache[path]
 
 
+def key_is_stale(key: str, manifest: dict) -> bool:
+    """True when the key needs a fresh driver CORRECTNESS row: never
+    verified, or its recorded fingerprint no longer matches current code.
+    Round-5 ADVICE fix: staleness is PER-KEY (``key_sha`` — the query
+    function's transitive same-module source closure + oracle SQL, see
+    registry.key_fingerprint) so an unrelated edit elsewhere in the module
+    stops staling certified keys; entries predating ``key_sha`` fall back
+    to the old whole-module md5."""
+    ent = manifest.get(key)
+    if ent is None:
+        return True
+    if "key_sha" in ent:
+        return ent["key_sha"] != registry.key_fingerprint(key)
+    fn = registry.QUERIES[key]
+    mod_file = Path(sys.modules[fn.__module__].__file__).resolve()
+    return ent["module_md5"] != _module_md5(mod_file)
+
+
 def priority_order(queries: dict) -> list[str]:
     """Stale/new keys first (oldest green round first), then fresh keys
     (oldest green round first); registration order breaks ties."""
@@ -66,10 +84,9 @@ def priority_order(queries: dict) -> list[str]:
         manifest = {}
     stale: list[tuple] = []
     fresh: list[tuple] = []
-    for reg_idx, (key, fn) in enumerate(queries.items()):
+    for reg_idx, key in enumerate(queries):
         ent = manifest.get(key)
-        mod_file = Path(sys.modules[fn.__module__].__file__).resolve()
-        if ent is None or ent["module_md5"] != _module_md5(mod_file):
+        if key_is_stale(key, manifest):
             stale.append((ent["round"] if ent else -1, reg_idx, key))
         else:
             fresh.append((ent["round"], reg_idx, key))

@@ -124,13 +124,15 @@ def test_cap_constants_embedded_in_oracles():
 
 def test_priority_rotation_guard():
     """Driver-cap rotation (VERDICT.md round-2 finding): every key that is
-    NEW or whose defining module changed since its last green CORRECTNESS
-    row must register before every still-certified key, and all stale keys
-    must fit inside the driver's ~50-row verification cap so no stale green
-    row survives a round silently."""
-    import hashlib
+    NEW or whose behavior-relevant code changed since its last green
+    CORRECTNESS row must register before every still-certified key, and ALL
+    stale keys must fit inside the driver's 50-row verification cap so no
+    stale green row survives a round unverified.  The cap is a HARD
+    invariant (round-4 ADVICE: it was relaxed to 55 once and that was
+    wrong); the per-key ``key_sha`` fingerprint (query-function source
+    closure + oracle SQL, see registry.key_fingerprint) keeps it
+    satisfiable by not staling certified keys on unrelated module edits."""
     import json
-    import sys
     from pathlib import Path
 
     repo = Path(entry_mod.__file__).resolve().parent
@@ -141,46 +143,70 @@ def test_priority_rotation_guard():
     queries = entry_mod.queries()  # already priority-ordered
     order = list(queries)
 
-    def is_stale(key):
-        ent = manifest.get(key)
-        if ent is None:
-            return True
-        mod = Path(sys.modules[entry_mod.registry.QUERIES[key].__module__].__file__)
-        return ent["module_md5"] != hashlib.md5(mod.read_bytes()).hexdigest()
-
-    staleness = [is_stale(k) for k in order]
+    staleness = [entry_mod.key_is_stale(k, manifest) for k in order]
     n_stale = sum(staleness)
     # stale block is a strict prefix
     assert staleness == [True] * n_stale + [False] * (len(order) - n_stale), (
         "stale keys must all register before certified keys: "
         + str([k for k, s in zip(order, staleness) if s])
     )
-    # The driver verifies at most 50 keys/round.  Ideally every stale key
-    # gets a row; module-level staleness is deliberately CONSERVATIVE (one
-    # helper edit marks every key in the module stale), so a small overflow
-    # is tolerated when it is provably the least-risk tail: the overflow
-    # keys must each carry a green row from the LATEST recorded round (the
-    # most recently certified), never a never-verified key — those must all
-    # sit inside the window.  Overflow keys lead the NEXT round's window by
-    # construction (stale sorts round-ascending), and the local full-oracle
-    # suite (this file) value-verifies every key each run regardless.
-    overflow = order[50:n_stale] if n_stale > 50 else []
-    assert n_stale <= 55, (
-        f"{n_stale} stale keys far exceed the driver's 50-row cap; split "
-        "the change across rounds or re-verify modules incrementally"
+    # The driver verifies 50 keys/round, in this order.  HARD cap: every
+    # stale key must get a driver row this round — split larger changes
+    # across rounds or verify incrementally.
+    assert n_stale <= 50, (
+        f"{n_stale} stale keys exceed the driver's 50-row cap; stale = "
+        + str([k for k, s in zip(order, staleness) if s])
     )
-    latest_round = max(e["round"] for e in manifest.values())
-    for k in overflow:
-        ent = manifest.get(k)
-        assert ent is not None, (
-            f"never-verified key {k} fell outside the driver's 50-row "
-            "window; reorder or reduce stale modules"
-        )
-        assert ent["round"] == latest_round, (
-            f"overflow key {k} last certified in round {ent['round']} < "
-            f"{latest_round}; only the most recently certified keys may "
-            "defer to the next round"
-        )
     # certified keys rotate oldest-round-first so old certifications refresh
     fresh_rounds = [manifest[k]["round"] for k in order[n_stale:]]
     assert fresh_rounds == sorted(fresh_rounds)
+
+
+def test_key_fingerprint_scoped_to_key(tmp_path):
+    """key_fingerprint must change when the key's own body, a helper it
+    calls, a shared constant, or its oracle changes — and must NOT change
+    when an unrelated function in the same module is edited (the round-4
+    ADVICE hazard: module-wide staleness forced certified keys out of the
+    driver window on unrelated edits)."""
+    import importlib.util
+    import sys
+
+    from pdf_extractor_spark.operators import registry
+
+    base = '''
+CAP = {cap}
+def _helper(x):
+    return x + {helper_add}
+def q_probe_a(spark, sf):
+    return _helper(CAP)
+def q_probe_b(spark, sf):
+    return {b_body}
+'''
+
+    def load(tag, cap=7, helper_add=1, b_body=0, oracle="SELECT 1 AS one"):
+        src = base.format(cap=cap, helper_add=helper_add, b_body=b_body)
+        p = tmp_path / f"fpmod_{tag}.py"
+        p.write_text(src)
+        spec = importlib.util.spec_from_file_location(f"fpmod_{tag}", p)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        key = f"q_fp_probe_{tag}"
+        registry.QUERIES[key] = mod.q_probe_a
+        if oracle is not None:
+            registry.ORACLES[key] = oracle
+        try:
+            return registry.key_fingerprint(key)
+        finally:
+            registry.QUERIES.pop(key, None)
+            registry.ORACLES.pop(key, None)
+            sys.modules.pop(spec.name, None)
+
+    ref = load("ref")
+    # unrelated edit (another function's body) must NOT stale the key
+    assert load("unrel", b_body=42) == ref
+    # but everything behavior-relevant must:
+    assert load("const", cap=8) != ref          # shared constant
+    assert load("helper", helper_add=2) != ref  # transitive helper
+    assert load("oracle", oracle="SELECT 2 AS two") != ref  # oracle SQL
+    assert load("noracle", oracle=None) != ref  # oracle removed
