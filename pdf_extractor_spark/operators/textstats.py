@@ -935,11 +935,23 @@ def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape (the q_hash_embed lesson applied): the char explode never
     reaches the shuffle — map-side partial aggregation collapses
     (doc_id, ch) to at most |alphabet| rows per doc per partition, so the
-    shuffle is bounded by docs x alphabet, not by corpus characters."""
+    shuffle is bounded by docs x alphabet, not by corpus characters.
+
+    Codepoint semantics (round-4 ADVICE, low): ``split(text, '')`` runs on
+    the JVM's UTF-16 string, so a non-BMP character (emoji, astral CJK)
+    splits into TWO surrogate halves while DuckDB's string_split yields
+    whole codepoints.  Decompose with substring over sequence(1, length)
+    instead — Spark's length/substring count UTF-8 codepoints, matching
+    DuckDB — so both engines see identical characters on any input
+    (tests/test_entropy.py pins an astral-plane corpus)."""
     d = T(spark, sf, "documents").filter(F.trim(F.col("text")) != "")
     k = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
-        .filter(F.col("ch") != "")
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

@@ -51,3 +51,32 @@ def test_entropy_orders_repetitive_below_diverse(spark, sf_dir):
     vals = {r.doc_id: r.entropy for r in ent.collect()}
     assert vals[1] == 0.0
     assert abs(vals[2] - 4.0) < 1e-9
+
+
+def test_astral_plane_matches_duckdb(spark, tmp_path):
+    """Round-4 ADVICE: split(text,'') on the JVM yields UTF-16 surrogate
+    halves for non-BMP chars while DuckDB yields codepoints; the substring
+    decomposition must make both engines agree on emoji / astral CJK."""
+    import duckdb as _d
+
+    rows = [
+        (1, "he\U0001F600llo \U0001F680\U0001F680"),   # emoji (non-BMP)
+        (2, "\U00020000\U00020001 plain ascii"),        # CJK ext-B
+        (3, "café ☃ bmp only"),
+        (4, "\U0001F600"),                              # single astral char
+    ]
+    p = str(tmp_path / "documents.parquet")
+    _d.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)) TO '" + p + "' (FORMAT PARQUET)"
+    )
+    got = {r.doc_id: r for r in q_char_entropy(spark, str(tmp_path)).collect()}
+    for doc_id, text in rows:
+        c = collections.Counter(text)  # Python iterates codepoints
+        n = sum(c.values())
+        h = round(
+            math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n, 6)
+        r = got[doc_id]
+        assert (r.n_chars, r.n_distinct) == (n, len(c)), (doc_id, r)
+        assert abs(r.entropy - h) < 2e-6, (doc_id, r.entropy, h)
