@@ -17,12 +17,17 @@ ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode (TIFF-variant
 with /EarlyChange; chainable, with /DecodeParms predictor support),
 Latin-1-ish simple fonts AND
 Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
-bfrange / array-destination bfrange, 1- or 2-byte codespaces), and
+bfrange / array-destination bfrange, 1- or 2-byte codespaces), Type0
+fonts WITHOUT /ToUnicode via predefined Uni*-UCS2 CMaps, embedded
+/Encoding CMap streams (cidchar/cidrange code->CID composed with the
+descendant font program), or an Identity-encoded FontFile2 cmap, and
 standard-security-handler encryption with an empty user password
 (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2, and AES-256 V5
 R5/R6 /AESV3 incl. the ISO 32000-2 Algorithm 2.B iterated KDF —
 kernels/crypto.py holds the from-scratch RC4/AES primitives).
-Remaining out-of-dialect constructs (a Type0 font without /ToUnicode,
+Remaining out-of-dialect constructs (a Type0 font naming a predefined
+CMap outside the Uni*-UCS2 family with no embedded mapping to fall
+back on, /UseCMap composition, mixed-width codespaces,
 non-Standard security handlers, real passwords) raise ``PdfError`` so
 the pipeline can route the row to the error side-channel instead of
 crashing the task (SURVEY.md OP-32 mapping).
@@ -1090,6 +1095,61 @@ def _parse_tounicode(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, width
 
 
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_PAIR = re.compile(rb"<([0-9A-Fa-f\s]*)>\s*(\d+)")
+_CIDRANGE_TRIPLE = re.compile(
+    rb"<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*(\d+)")
+_MAX_CID_ENTRIES = 1 << 17  # bomb guard: 2 bytes of code space = 65536
+
+
+def _parse_cid_cmap(data: bytes) -> tuple[dict[int, int], int]:
+    """Embedded CMap stream (/Encoding, PDF 32000-1 §9.7.5.3) ->
+    (code -> CID map, code byte width).
+
+    Parses cidchar pairs (<code> cid) and cidrange triples
+    (<lo> <hi> startCID) — the code->CID half of the CMap grammar the
+    ToUnicode parser above already implements for code->unicode.  Code
+    width comes from the codespacerange; CMaps mixing widths across
+    ranges, or with /UseCMap composition, are out of dialect and
+    error-route (the reference reads them via MuPDF's CMap machinery,
+    text_extractor.py:51-53)."""
+    if b"usecmap" in data:
+        raise PdfError("embedded CMap: /UseCMap composition unsupported")
+    width = 2
+    widths = set()
+    m = _CSRANGE_RE.search(data)
+    if m:
+        for tok in _HEX_TOK.findall(m.group(1)):
+            widths.add(max(1, len(_hexbytes(tok))))
+        if len(widths) > 1:
+            raise PdfError(
+                f"embedded CMap: mixed code widths {sorted(widths)}")
+        if widths:
+            width = widths.pop()
+    code2cid: dict[int, int] = {}
+    work = 0  # cumulative mapping entries, counting overwrites (CPU bound)
+    for sec in _CIDCHAR_RE.findall(data):
+        for hx, cid in _CIDCHAR_PAIR.findall(sec):
+            code2cid[int.from_bytes(_hexbytes(hx), "big")] = int(cid)
+            work += 1
+            if work > _MAX_CID_ENTRIES:
+                raise PdfError("embedded CMap: too many cidchar entries")
+    for sec in _CIDRANGE_RE.findall(data):
+        for lo_hx, hi_hx, start in _CIDRANGE_TRIPLE.findall(sec):
+            lo = int.from_bytes(_hexbytes(lo_hx), "big")
+            hi = int.from_bytes(_hexbytes(hi_hx), "big")
+            work += max(0, hi - lo + 1)
+            if hi < lo or work > _MAX_CID_ENTRIES:
+                raise PdfError("embedded CMap: cidrange bounds invalid")
+            base = int(start)
+            for off in range(hi - lo + 1):
+                code2cid[lo + off] = base + off
+    if not code2cid:
+        raise PdfError("embedded CMap with no cidchar/cidrange mappings")
+    return code2cid, width
+
+
 class _CidDecoder:
     """String-show decoder for a Type0 font: split the byte string into
     fixed-width codes and map each through the ToUnicode CMap."""
@@ -1213,18 +1273,12 @@ def _parse_truetype_cmap(data: bytes) -> dict[int, str]:
     return inv
 
 
-def _type0_fontfile_cmap(doc: "Document", fd: dict, fname) -> dict[int, str]:
-    """Type0 WITHOUT /ToUnicode: recover cid -> unicode by inverting the
-    embedded TrueType program's cmap (the route real subsetted PDFs force;
-    VERDICT.md round-3 'What's missing' #3).  Requires an Identity encoding
-    (code == CID); /CIDToGIDMap may be /Identity or an explicit 2-byte map
-    stream.  Anything else error-routes."""
-    enc = doc.resolve(fd.get(Name("Encoding")))
-    if enc not in ("Identity-H", "Identity-V"):
-        raise PdfError(
-            f"Type0 font {fname} without /ToUnicode and non-Identity "
-            f"encoding {enc!r} (UCS2 predefined CMaps are handled before "
-            f"this fallback; other predefined CMaps are out of dialect)")
+def _descendant_cid2uni(doc: "Document", fd: dict, fname) -> dict[int, str]:
+    """Recover cid -> unicode from the descendant font's embedded TrueType
+    program (inverting its cmap; the route real subsetted PDFs force,
+    VERDICT.md round-3 'What's missing' #3).  /CIDToGIDMap may be
+    /Identity or an explicit 2-byte map stream.  Anything else
+    error-routes."""
     desc_arr = doc.resolve(fd.get(Name("DescendantFonts")))
     desc = doc.resolve(desc_arr[0]) if isinstance(desc_arr, list) and desc_arr else None
     if not isinstance(desc, dict):
@@ -1256,10 +1310,15 @@ def _type0_fontfile_cmap(doc: "Document", fd: dict, fname) -> dict[int, str]:
 def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
     """/Resources /Font -> {font name: decoder}.  Simple fonts use the
     default Latin-1 decode (None marker); Type0 fonts decode through their
-    ToUnicode CMap, falling back — when /ToUnicode is absent — to direct
-    UCS-2 decode for the predefined Uni*-UCS2 CMap family, then to the
-    embedded TrueType program's inverted cmap.  A Type0 font with NO
-    mapping is out of dialect and error-routes via PdfError."""
+    ToUnicode CMap, falling back — when /ToUnicode is absent — on the
+    /Encoding: direct UCS-2 decode for the predefined Uni*-UCS2 CMap
+    family, code->CID->unicode for an embedded CMap STREAM (round-4
+    VERDICT missing #1: the grammar is shared with ToUnicode, the
+    CID->unicode half comes from the descendant FontFile2), or the
+    embedded TrueType program's inverted cmap under Identity-H/V.  A
+    Type0 font with NO mapping — including every other PREDEFINED CMap
+    name (90ms-RKSJ-H, GBK-EUC-H, …, which need Adobe's bundled CMap
+    resources) — is out of dialect and error-routes via PdfError."""
     res = doc.resolve(page.get(Name("Resources"))) or {}
     fonts = doc.resolve(res.get(Name("Font"))) or {}
     out: dict[str, object] = {}
@@ -1269,15 +1328,35 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
             continue
         if doc.resolve(fd.get(Name("Subtype"))) == "Type0":
             tu = doc.resolve(fd.get(Name("ToUnicode")))
+            enc = doc.resolve(fd.get(Name("Encoding")))
             if isinstance(tu, Stream):
                 cmap, width = _parse_tounicode(doc.stream_data(tu))
-            elif doc.resolve(fd.get(Name("Encoding"))) in _UCS2_CMAPS:
+            elif enc in _UCS2_CMAPS:
                 # Uni*-UCS2 predefined CMap: code == UCS-2 code point, no
                 # table needed (residual of VERDICT round-3 missing #3)
                 out[str(fname)] = _ucs2_decode
                 continue
+            elif isinstance(enc, Stream):
+                # embedded CMap stream: code -> CID here, CID -> unicode
+                # from the descendant font program
+                code2cid, width = _parse_cid_cmap(doc.stream_data(enc))
+                cid2uni = _descendant_cid2uni(doc, fd, fname)
+                cmap = {
+                    code: cid2uni[cid]
+                    for code, cid in code2cid.items() if cid in cid2uni
+                }
+                if not cmap:
+                    raise PdfError(
+                        f"Type0 font {fname}: embedded CMap maps no CID "
+                        f"the descendant font can name")
+            elif enc in ("Identity-H", "Identity-V"):
+                cmap, width = _descendant_cid2uni(doc, fd, fname), 2
             else:
-                cmap, width = _type0_fontfile_cmap(doc, fd, fname), 2
+                raise PdfError(
+                    f"Type0 font {fname} without /ToUnicode and "
+                    f"unsupported encoding {enc!r} (UCS2 predefined "
+                    f"CMaps and embedded CMap streams are handled; other "
+                    f"predefined CMaps are out of dialect)")
             out[str(fname)] = _CidDecoder(cmap, width)
         else:
             out[str(fname)] = None

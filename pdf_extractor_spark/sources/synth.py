@@ -108,6 +108,56 @@ def _tounicode_cmap(assign: dict[str, int]) -> bytes:
     return b"".join(parts)
 
 
+#: Code-space offset for the embedded-CMap font dialect: show-string codes
+#: are CID + this, so code != CID and the parser can only recover text by
+#: actually applying the embedded /Encoding CMap's code->CID mapping.
+CID_CMAP_CODE_OFFSET = 0x2100
+
+
+def _encoding_cid_cmap(assign: dict[str, int]) -> bytes:
+    """Emit an /Encoding CMap STREAM (PDF 32000-1 §9.7.5.3): code -> CID
+    with code = CID + CID_CMAP_CODE_OFFSET.  Runs are split where the
+    underlying CODEPOINT sequence has a gap (same discipline as the
+    ToUnicode emitter) — CIDs alone are always consecutive by
+    construction, which would collapse everything into one cidrange;
+    splitting on codepoint gaps keeps runs of >=3 as cidrange lines and
+    turns short runs into cidchar lines, so the parser's cidrange AND
+    cidchar paths are both genuinely exercised."""
+    by_cid = sorted((cid, ch) for ch, cid in assign.items())
+    runs: list[list[int]] = []
+    prev_cp = None
+    for cid, ch in by_cid:
+        if runs and cid == runs[-1][-1] + 1 and ord(ch) == prev_cp + 1:
+            runs[-1].append(cid)
+        else:
+            runs.append([cid])
+        prev_cp = ord(ch)
+    cidchars = [c for r in runs if len(r) < 3 for c in r]
+    cidranges = [r for r in runs if len(r) >= 3]
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> def\n/CMapName /SynthEmbedded def\n"
+        b"/CMapType 1 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    if cidchars:
+        parts.append(b"%d begincidchar\n" % len(cidchars))
+        for cid in cidchars:
+            parts.append(b"<%04x> %d\n" % (cid + CID_CMAP_CODE_OFFSET, cid))
+        parts.append(b"endcidchar\n")
+    if cidranges:
+        parts.append(b"%d begincidrange\n" % len(cidranges))
+        for r in cidranges:
+            parts.append(b"<%04x> <%04x> %d\n" % (
+                r[0] + CID_CMAP_CODE_OFFSET,
+                r[-1] + CID_CMAP_CODE_OFFSET, r[0]))
+        parts.append(b"endcidrange\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend\n")
+    return b"".join(parts)
+
+
 def make_table_spec(rng: random.Random) -> dict:
     """Draw one grid-table spec shared by BOTH serializers (PDF text grid
     and HTML <table>), so the two renderings of the same logical table can
@@ -415,6 +465,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     ``font='cid-ucs2'``: a Type0 font with the PREDEFINED /UniGB-UCS2-H
     CMap — no /ToUnicode and no /FontFile2; shown strings are hex UTF-16BE
     code units (code == UCS-2 code point).  No rng draws either.
+    ``font='cid-cmap'``: a Type0 font whose /Encoding is an EMBEDDED CMap
+    STREAM (cidchar + cidrange, code = CID + CID_CMAP_CODE_OFFSET) with
+    no /ToUnicode; CID -> unicode comes from the embedded TrueType
+    program as in 'cid-fontfile'.  Codes differ from CIDs, so text only
+    round-trips if the parser applies the CMap.  No rng draws.
 
     ``encrypt``: None, 'rc4-40', 'rc4-128' or 'aes-128' — standard security
     handler with an EMPTY user password (sources/synth_crypt.py writer).
@@ -485,7 +540,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
 
         def encode_string(s: str) -> bytes:
             return b"<" + s.encode("utf-16-be").hex().encode() + b">"
-    elif font in ("cid", "cid-fontfile"):
+    elif font in ("cid", "cid-fontfile", "cid-cmap"):
         assign = _cid_assignment(page_lines)
         desc_id = next_id
         next_id += 1
@@ -513,7 +568,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         else:
             # no /ToUnicode: the parser must recover text by inverting the
             # embedded TrueType program's format-4 cmap (unicode -> GID;
-            # GID == CID under /CIDToGIDMap /Identity + /Identity-H)
+            # GID == CID under /CIDToGIDMap /Identity).  'cid-fontfile'
+            # encodes with /Identity-H (code == CID); 'cid-cmap' routes
+            # codes through an EMBEDDED /Encoding CMap stream with
+            # code = CID + CID_CMAP_CODE_OFFSET, so parsing only succeeds
+            # if the kernel actually applies the code->CID mapping.
             from .synth_ttf import build_truetype_cmap
 
             fdesc_id = next_id
@@ -522,11 +581,32 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 {ord(ch): cid for ch, cid in assign.items()})
             ttf_len1 = len(ttf)
             ttf_z = stream_enc(aux_id, zlib.compress(ttf, 6))
-            objs[font_id] = (
-                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
-                b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
-                % desc_id
-            )
+            if font == "cid-cmap":
+                encmap_id = next_id
+                next_id += 1
+                encmap = _encoding_cid_cmap(assign)
+                encmap_z = stream_enc(encmap_id, zlib.compress(encmap, 6))
+                objs[encmap_id] = (
+                    b"<< /Type /CMap /CMapName /SynthEmbedded "
+                    b"/CIDSystemInfo << /Registry "
+                    + strenc(encmap_id, "Adobe") + b" /Ordering "
+                    + strenc(encmap_id, "Identity")
+                    + b" /Supplement 0 >> /Length %d /Filter /FlateDecode "
+                    b">>\nstream\n" % len(encmap_z)
+                    + encmap_z + b"\nendstream"
+                )
+                stream_ids.add(encmap_id)
+                objs[font_id] = (
+                    b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                    b"/Encoding %d 0 R /DescendantFonts [%d 0 R] >>"
+                    % (encmap_id, desc_id)
+                )
+            else:
+                objs[font_id] = (
+                    b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+                    b"/Encoding /Identity-H /DescendantFonts [%d 0 R] >>"
+                    % desc_id
+                )
             objs[desc_id] = (
                 b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID "
                 b"/CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
@@ -546,8 +626,15 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
             )
             stream_ids.add(aux_id)
 
-        def encode_string(s: str) -> bytes:
-            return b"<" + "".join("%04x" % assign[c] for c in s).encode() + b">"
+        if font == "cid-cmap":
+            def encode_string(s: str) -> bytes:
+                return b"<" + "".join(
+                    "%04x" % (assign[c] + CID_CMAP_CODE_OFFSET) for c in s
+                ).encode() + b">"
+        else:
+            def encode_string(s: str) -> bytes:
+                return b"<" + "".join(
+                    "%04x" % assign[c] for c in s).encode() + b">"
     else:
         objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         encode_string = _simple_string
@@ -885,19 +972,27 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
     elif r < 0.90:
         kind = "pdf"
         # Half the PDFs use the PDF 1.5 dialect (xref/object streams, mixed
-        # filters); orthogonally half use the composite-font dialect
-        # (Type0/Identity-H + ToUnicode CMap, hex CID strings) — all four
-        # serialization combos appear.  One in 16 is additionally
-        # ENCRYPTED (standard security handler, RC4-128) so decryption
-        # runs in the real extraction pipeline, not just in gates — the
-        # share is bounded because pure-Python RC4 over image payloads
-        # costs ~8 ms/doc (the q_pdf_encrypted gate covers all four
-        # variants densely).  Every choice keys off doc_id (not rng
-        # draws), so document TEXT is unchanged vs the classic-only corpus.
+        # filters); orthogonally half use a composite-font dialect — mostly
+        # Type0/Identity-H + ToUnicode CMap (hex CID strings), with small
+        # shares of the three no-ToUnicode variants (embedded /Encoding
+        # CMap stream, FontFile2-only, predefined UCS2 CMap) carved out of
+        # the composite slots so every text-mapping route the kernel
+        # supports runs in the real extraction pipeline, not just in
+        # gates.  One in 16 is additionally ENCRYPTED (standard security
+        # handler, RC4-128) — the share is bounded because pure-Python RC4
+        # over image payloads costs ~8 ms/doc (the q_pdf_encrypted gate
+        # covers all four variants densely).  Every choice keys off doc_id
+        # (not rng draws), so document TEXT is unchanged vs the
+        # classic-only corpus.
+        if doc_id % 4 >= 2:
+            font = {3: "cid-cmap", 11: "cid-ucs2", 19: "cid-fontfile"}.get(
+                doc_id % 32, "cid")
+        else:
+            font = "simple"
         payload, page_lines = make_pdf(
             rng, doc_id,
             dialect="modern" if doc_id % 2 else "classic",
-            font="cid" if doc_id % 4 >= 2 else "simple",
+            font=font,
             encrypt="rc4-128" if doc_id % 16 == 5 else None,
         )
         n_pages = len(page_lines)

@@ -123,5 +123,5 @@ class TestFontFileFallbackInPdf:
         broken = pdf.replace(b"/Encoding /Identity-H",
                              b"/Encoding /IdentityXH")
         assert broken != pdf
-        with pytest.raises(PdfError, match="non-Identity"):
+        with pytest.raises(PdfError, match="unsupported encoding"):
             parse_pdf(broken)

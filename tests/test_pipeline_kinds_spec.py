@@ -76,6 +76,17 @@ def test_pdf_ucs2_constant_matches_generator_spec():
     assert _UCS2_TOTAL_PAGES == ucs2_total_pages(_N_UCS2_DOCS)
 
 
+def test_pdf_embedded_cmap_constant_matches_generator_spec():
+    from scripts.derive_kind_expectations import embcmap_total_pages
+
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _EMBCMAP_TOTAL_PAGES,
+        _N_EMBCMAP_DOCS,
+    )
+
+    assert _EMBCMAP_TOTAL_PAGES == embcmap_total_pages(_N_EMBCMAP_DOCS)
+
+
 def test_ocr_raster_constants_match_generator_spec():
     from scripts.derive_kind_expectations import raster_totals
 
