@@ -41,6 +41,8 @@ import re
 import struct
 import zlib
 
+from .ccitt import CcittError, ccitt_decode
+
 __all__ = ["parse_pdf", "PdfError"]
 
 
@@ -893,6 +895,24 @@ class Document:
                     early = ec if isinstance(ec, int) else 1
                 data = _lzw_decode(data, early)
                 data = self._unpredict(data, p)
+            elif f == "CCITTFaxDecode":
+                p = p if isinstance(p, dict) else {}
+                rows = self.resolve(p.get(Name("Rows")))
+                try:
+                    data = ccitt_decode(
+                        data,
+                        columns=int(self.resolve(
+                            p.get(Name("Columns"), 1728)) or 1728),
+                        rows=rows if isinstance(rows, int) and rows > 0
+                        else None,
+                        k=int(self.resolve(p.get(Name("K"), 0)) or 0),
+                        black_is_1=bool(
+                            self.resolve(p.get(Name("BlackIs1"), False))),
+                        byte_align=bool(self.resolve(
+                            p.get(Name("EncodedByteAlign"), False))),
+                    )
+                except CcittError as e:
+                    raise PdfError(f"CCITTFaxDecode: {e}") from e
             elif f in ("DCTDecode", "JPXDecode"):
                 # compressed image payload — pass through as-is
                 return data
@@ -1627,7 +1647,7 @@ def _region_to_table(region: list[list[dict]]) -> list[list[str | None]] | None:
 
 
 _IMG_FMT = {"DCTDecode": "jpeg", "JPXDecode": "jp2", "FlateDecode": "raw",
-            None: "raw"}
+            "CCITTFaxDecode": "bilevel", None: "raw"}
 
 
 def _page_images(doc: Document, page: dict) -> list[dict]:
@@ -1645,13 +1665,24 @@ def _page_images(doc: Document, page: dict) -> list[dict]:
         filt = doc.resolve(xo.dict.get(Name("Filter")))
         if isinstance(filt, list):
             filt = filt[-1] if filt else None
+        fmt = _IMG_FMT.get(str(filt) if filt else None, "raw")
+        if fmt == "bilevel":
+            # CCITT needs /DecodeParms to decode, which downstream
+            # consumers don't see — so (unlike the pass-through formats)
+            # the payload carries the DECODED packed 1-bit rows, i.e.
+            # exactly the bytes an unencoded 1-bit /DeviceGray XObject
+            # would hold (kernels/ccitt.py; the reference decodes via
+            # MuPDF, image_extractor.py:114)
+            payload = doc.stream_data(xo)
+        else:
+            payload = doc.raw_data(xo)
         images.append({
             "image_index": idx,
             "name": str(name),
             "width": int(doc.resolve(xo.dict.get(Name("Width"))) or 0),
             "height": int(doc.resolve(xo.dict.get(Name("Height"))) or 0),
-            "format": _IMG_FMT.get(str(filt) if filt else None, "raw"),
-            "payload": doc.raw_data(xo),
+            "format": fmt,
+            "payload": payload,
         })
     return images
 

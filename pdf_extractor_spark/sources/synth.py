@@ -432,6 +432,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              font: str = "simple", encrypt: str | None = None,
              page_tables: list[dict] | None = None,
              page_links: list[list[str]] | None = None,
+             image_coding: str | None = None,
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -470,6 +471,13 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     no /ToUnicode; CID -> unicode comes from the embedded TrueType
     program as in 'cid-fontfile'.  Codes differ from CIDs, so text only
     round-trips if the parser applies the CMap.  No rng draws.
+
+    ``image_coding``: None (default mix: RGB Flate / JPEG dialects / a
+    CCITT bilevel share keyed off seed64), or force EVERY image in the
+    document to the same thresholded-gradient bilevel pixels serialized as
+    'flate-gray' (8-bit /DeviceGray /FlateDecode) or 'ccitt' (1-bit
+    /CCITTFaxDecode, G4 or G3-1D per seed64) — the q_ccitt twin gate.
+    Same rng draw sequence either way, so text goldens are unchanged.
 
     ``encrypt``: None, 'rc4-40', 'rc4-128' or 'aes-128' — standard security
     handler with an EMPTY user password (sources/synth_crypt.py writer).
@@ -673,7 +681,36 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 # rest zlib'd raw RGB (/FlateDecode) — chosen from seed64,
                 # not a fresh draw.
                 seed64 = bytes(rng.getrandbits(8) for _ in range(64))
-                if seed64[3] % 4 == 0:
+                cs, bpc, parms = b"/DeviceRGB", 8, b""
+                if image_coding is not None or (
+                        seed64[3] % 4 != 0 and seed64[11] % 5 == 0):
+                    # CCITT bilevel share (or a forced twin for the q_ccitt
+                    # gate): the SAME thresholded gradient serialized either
+                    # as Flate 8-bit gray or CCITT G4 / G3-1D 1-bit, so a
+                    # parser must reproduce the pixels exactly.  Keyed off
+                    # seed64, no fresh draws — text goldens unchanged.
+                    from .synth_ccitt import (
+                        bilevel_gradient,
+                        encode_g3_1d,
+                        encode_g4,
+                    )
+
+                    pix = bilevel_gradient(w, h, seed64[:8])
+                    cs = b"/DeviceGray"
+                    if image_coding == "flate-gray":
+                        payload = zlib.compress(pix, 6)
+                        img_filter = b"/FlateDecode"
+                    elif seed64[13] % 2:
+                        payload = encode_g4(pix, w, h)
+                        img_filter, bpc = b"/CCITTFaxDecode", 1
+                        parms = (b" /DecodeParms << /K -1 /Columns %d "
+                                 b"/Rows %d >>" % (w, h))
+                    else:
+                        payload = encode_g3_1d(pix, w, h)
+                        img_filter, bpc = b"/CCITTFaxDecode", 1
+                        parms = (b" /DecodeParms << /K 0 /Columns %d "
+                                 b"/Rows %d >>" % (w, h))
+                elif seed64[3] % 4 == 0:
                     from .synth_jpeg import encode_jpeg_baseline
 
                     # half the JPEGs use 4:2:0 chroma subsampling (the most
@@ -706,9 +743,10 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 payload = stream_enc(img_id, payload)
                 objs[img_id] = (
                     b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-                    b"/Filter %s /Length %d >>\nstream\n"
-                    % (w, h, img_filter, len(payload)) + payload + b"\nendstream"
+                    b"/ColorSpace %s /BitsPerComponent %d "
+                    b"/Filter %s%s /Length %d >>\nstream\n"
+                    % (w, h, cs, bpc, img_filter, parms, len(payload))
+                    + payload + b"\nendstream"
                 )
                 stream_ids.add(img_id)
                 parts.append(b"/Im%d %d 0 R" % (k, img_id))

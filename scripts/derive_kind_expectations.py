@@ -93,6 +93,18 @@ def embcmap_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def ccitt_total_pages(n_docs: int = 60) -> int:
+    """Planned page total of the q_ccitt fixture set (page plan is
+    image-coding-invariant — same rng draw sequence either way)."""
+    total = 0
+    for doc_id in range(n_docs):
+        rng = random.Random(f"ccitt-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, image_coding="flate-gray",
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def raster_totals(n_docs: int = 80) -> tuple[int, int]:
     """(total_lines, total_chars) of the q_ocr_raster fixture set — pure
     spec-rng draws, independent of renderer and recognizer alike."""
@@ -147,5 +159,6 @@ if __name__ == "__main__":
     print(f"q_pdf_fontcmap total_pages: {fontcmap_total_pages()}")
     print(f"q_pdf_ucs2 total_pages: {ucs2_total_pages()}")
     print(f"q_pdf_embedded_cmap total_pages: {embcmap_total_pages()}")
+    print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
     print(f"q_pdf_links total_links: {links_total()}")

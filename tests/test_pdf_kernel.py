@@ -48,7 +48,7 @@ def test_images_extracted_with_dims():
     assert imgs, "expected at least one image across 6 pages"
     for img in imgs:
         assert img["width"] > 0 and img["height"] > 0
-        assert img["format"] in ("raw", "jpeg", "jp2")
+        assert img["format"] in ("raw", "jpeg", "jp2", "bilevel")
         assert isinstance(img["payload"], bytes) and img["payload"]
 
 

@@ -87,6 +87,17 @@ def test_pdf_embedded_cmap_constant_matches_generator_spec():
     assert _EMBCMAP_TOTAL_PAGES == embcmap_total_pages(_N_EMBCMAP_DOCS)
 
 
+def test_ccitt_constant_matches_generator_spec():
+    from scripts.derive_kind_expectations import ccitt_total_pages
+
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _CCITT_TOTAL_PAGES,
+        _N_CCITT_DOCS,
+    )
+
+    assert _CCITT_TOTAL_PAGES == ccitt_total_pages(_N_CCITT_DOCS)
+
+
 def test_ocr_raster_constants_match_generator_spec():
     from scripts.derive_kind_expectations import raster_totals
 
