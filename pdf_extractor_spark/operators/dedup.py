@@ -615,6 +615,95 @@ def jaccard_verify(cand: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
+#: Per-(band, bkey) candidate cap for the CAPPED verify path — the 100-TB
+#: mitigation for quadratic pair growth inside template-page mega-buckets
+#: (measured by scripts/bench_lsh_growth.py: clique pairs grow ~n^2 when
+#: duplicate clusters scale with the corpus).  Shared verbatim with the
+#: oracle SQL (test_cap_constants_embedded_in_oracles).
+VERIFY_BUCKET_CAP = 12
+
+
+@query(
+    "q_dedup_verify_capped",
+    "WITH "
+    + _SHINGLES_SQL.format(cap=LSH_CAP)
+    + f""",
+  sig AS (
+    SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS mh
+    FROM shingles, range(0, {_N_HASHES}) r(seed)
+    GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bkey
+    FROM sig GROUP BY doc_id, CAST(seed // {_BAND_SIZE} AS INT)),
+  capped AS (
+    SELECT doc_id, band, bkey FROM (
+      SELECT doc_id, band, bkey,
+             row_number() OVER (PARTITION BY band, bkey
+                                ORDER BY doc_id) AS rn
+      FROM bands)
+    WHERE rn <= {VERIFY_BUCKET_CAP}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+  sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN shingles a ON a.doc_id = c.doc_a
+    JOIN shingles b ON b.doc_id = c.doc_b AND b.sh = a.sh
+    GROUP BY c.doc_a, c.doc_b)
+  SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS n_common,
+         CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard,
+         CASE WHEN CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+              THEN 'dup' ELSE 'candidate' END AS verdict
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  """,
+)
+def q_dedup_verify_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """Pair-level verification with a PER-BUCKET candidate cap (VERDICT
+    round-4 item 8): the LSH-growth experiment proved verified-pair
+    enumeration is inherently ~quadratic when duplicate-cluster sizes
+    scale with the corpus, so the 100-TB verify path keeps only the first
+    VERIFY_BUCKET_CAP docs (deterministic: lowest doc_id) of each
+    (band, bkey) bucket BEFORE pair enumeration — bounding pairs per
+    bucket at cap*(cap-1)/2 regardless of bucket size, while component
+    connectivity is preserved by the uncapped star-edge path
+    (minhash_star_edges) that the clusters query uses.
+
+    The cap is applied as a row_number window on the band rows ahead of
+    the self-join (plan-audited: the Filter(rn <= cap) sits below the
+    verify joins), and the cap constant is embedded verbatim in both
+    engines' SQL."""
+    from pyspark.sql import Window
+
+    base = _shingle_array(spark, sf, LSH_CAP)
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    capped = (
+        _band_rows(base)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VERIFY_BUCKET_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, base)
+
+
 @query(
     "q_pagerank_iter",
     "WITH "

@@ -112,6 +112,8 @@ AUDITS = [
      "note": "round 4: winnowing fingerprints are per-row array folds (grams + window-min never explode); exchanges = fan-out + fp groupBy + fp join + doc groupBy — linear, no pair enumeration"}),
     ("q_decontaminate", {"broadcast": True,
      "note": "round 4: benchmark fingerprint set BROADCASTS to the membership join — the corpus side never shuffles for the test, only for the per-doc rollup"}),
+    ("q_dedup_verify_capped", {"present": ["row_number", "<= 12)"],
+     "note": "round 5: per-bucket candidate cap (VERIFY_BUCKET_CAP=12) applied as a row_number window + Filter BELOW the verify joins — pairs per bucket bounded at cap*(cap-1)/2 regardless of template-cluster size"}),
     ("q_dup_clusters", {"absent": "CartesianProduct",
      "note": "round 4: label propagation now runs over STAR edges (hub = min doc per (band,bkey) window) — edge count bounded by the 8n band rows instead of within-bucket cliques; fixpoint joins stay equi-keyed, never cartesian"}),
 ]
@@ -163,6 +165,10 @@ def main() -> None:
             good = exp["absent"] not in plan
             ok &= good
             checks.append(f"plan free of `{exp['absent']}`: {'OK' if good else 'FAIL'}")
+        for needle in exp.get("present", []):
+            good = needle in plan
+            ok &= good
+            checks.append(f"plan contains `{needle}`: {'OK' if good else 'FAIL'}")
         if not ok:
             failures.append(name)
         out.append(f"## {name} — {'PASS' if ok else 'FAIL'}\n")

@@ -111,13 +111,18 @@ def test_cap_constants_embedded_in_oracles():
     """Demo-window caps live in ONE named constant per query family and the
     oracle SQL must embed exactly that value (round-2 VERDICT: caps as twin
     literals could silently desynchronize query and oracle)."""
-    from pdf_extractor_spark.operators.dedup import LSH_CAP, NGRAM_CAP
+    from pdf_extractor_spark.operators.dedup import (
+        LSH_CAP,
+        NGRAM_CAP,
+        VERIFY_BUCKET_CAP,
+    )
     from pdf_extractor_spark.operators.similarity import COSINE_CAP
 
     assert f"doc_id < {NGRAM_CAP} " in ORACLES["q_dedup_ngram"]
     for key in ("q_minhash_lsh", "q_dedup_verify", "q_pagerank_iter",
-                "q_dup_clusters"):
+                "q_dup_clusters", "q_dedup_verify_capped"):
         assert f"doc_id < {LSH_CAP} " in ORACLES[key]
+    assert f"rn <= {VERIFY_BUCKET_CAP}" in ORACLES["q_dedup_verify_capped"]
     assert ORACLES["q_dedup_cosine"].count(f"< {COSINE_CAP} ") + \
         ORACLES["q_dedup_cosine"].count(f"< {COSINE_CAP}\n") >= 1
 

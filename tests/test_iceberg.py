@@ -1,6 +1,6 @@
 """Iceberg-real validation (round-3 item 5 / VERDICT.md "Iceberg untested").
 
-Network probe refreshed 2026-08-17 (round 4): DNS resolution to Maven
+Network probe refreshed 2026-08-18 (round 5): DNS resolution to Maven
 Central still fails (``urlopen error Name or service not known``), so the
 jar remains unobtainable in-sandbox and this module still skips with the
 exact precondition below.
