@@ -1567,7 +1567,18 @@ def _detect_tables(lines: list[list[dict]]) -> list[list[list[str | None]]]:
     each a list of cells — a cell is the stripped concatenation of that
     column's runs, or None where the row places nothing in the column (the
     same None-for-empty fidelity the DOM parser keeps for <td>)."""
-    tables: list[list[list[str | None]]] = []
+    return [t for t, _ in detect_tables_with_cols(lines)]
+
+
+def detect_tables_with_cols(
+    lines: list[list[dict]],
+) -> list[tuple[list[list[str | None]], list[float]]]:
+    """_detect_tables plus each table's column x-centers — the COLUMN
+    SIGNATURE a multi-page merge needs to decide that the table at the top
+    of page n+1 continues the one at the bottom of page n (round-5
+    q_table_merge; the reference's aspirational multi-page merge,
+    generate_word_doc.py:88-96, never shipped)."""
+    tables: list[tuple[list[list[str | None]], list[float]]] = []
     region: list[list[dict]] = []
     centers: list[float] = []
 
@@ -1621,9 +1632,12 @@ def _detect_tables(lines: list[list[dict]]) -> list[list[list[str | None]]]:
     return tables
 
 
-def _region_to_table(region: list[list[dict]]) -> list[list[str | None]] | None:
+def _region_to_table(
+    region: list[list[dict]],
+) -> tuple[list[list[str | None]], list[float]] | None:
     """Cluster the region's run x-starts into columns (1-D gap clustering)
-    and assign each line's runs to its nearest column."""
+    and assign each line's runs to its nearest column.  Returns
+    (rows, column x-centers) or None."""
     starts = sorted(x for line in region for r in line for x in [r["x"]])
     clusters: list[list[float]] = []
     for x in starts:
@@ -1643,7 +1657,7 @@ def _region_to_table(region: list[list[dict]]) -> list[list[str | None]] | None:
         rows.append([
             ("".join(parts).strip() if parts else None) for parts in cells
         ])
-    return rows
+    return rows, centers
 
 
 _IMG_FMT = {"DCTDecode": "jpeg", "JPXDecode": "jp2", "FlateDecode": "raw",
@@ -1760,11 +1774,15 @@ def parse_pdf(data: bytes) -> dict:
         runs = _extract_runs(buf, _page_fonts(doc, pg))
         lines = _group_lines(runs) if runs else []
         text, blocks = _assemble_from_lines(lines) if lines else ("", [])
+        tables_ex = detect_tables_with_cols(lines)
         pages.append({
             "page_number": i + 1,  # 1-indexed like the reference (OP-19)
             "text": text,
             "blocks": blocks,
-            "tables": _detect_tables(lines),
+            "tables": [t for t, _ in tables_ex],
+            # per-table column x-centers — the multi-page merge signature
+            # (q_table_merge); dispatch/pipeline carry "tables" only
+            "table_cols": [c for _, c in tables_ex],
             "images": _page_images(doc, pg),
             "links": _page_links(doc, pg),
         })

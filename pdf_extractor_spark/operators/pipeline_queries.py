@@ -592,6 +592,151 @@ def q_pdf_embedded_cmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_MERGE_DOCS = 50
+_MERGE_TOTAL = 75  # generator spec: expected merged-table total
+                   # (scripts/derive_kind_expectations.table_merge_totals)
+
+
+@query(
+    "q_table_merge",
+    # Structural (non-circular) oracle: the merged output must equal the
+    # UNSPLIT generator specs — n_match counts docs whose relationally-
+    # merged tables exactly equal expected_merged_tables(spec), and the
+    # merged-table total comes from the same pure-spec rule.
+    f"""
+    SELECT CAST({_N_MERGE_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_MERGE_DOCS} AS BIGINT) AS n_match,
+           CAST({_MERGE_TOTAL} AS BIGINT) AS total_merged
+    """,
+)
+def q_table_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-page table merge (VERDICT round-4 item 6 — the one
+    aspirational reference feature with a natural relational shape,
+    generate_word_doc.py:88-96): the generator splits a known grid across
+    a page break; the kernel detects each half as a per-page table with
+    its column x-centers; and the MERGE itself is RELATIONAL — a window
+    lag over the exploded tables stream marks a table as continuing the
+    previous one when it opens the next page with a matching column
+    signature (same column count, every x-center within the kernel's
+    3.0 tolerance), a running sum turns the marks into segment ids, and a
+    groupBy stitches each segment's rows in page order.  Matching docs
+    have merged output exactly equal to the unsplit spec (plus, on
+    3-page docs, an unrelated table that must NOT merge)."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import (
+        expected_merged_tables,
+        make_pdf,
+        make_split_table_spec,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "page": [], "tbl": [],
+                   "centers": [], "rows": []}
+
+            def emit(doc_id, kind, page, tbl, centers, rows):
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["page"].append(page)
+                out["tbl"].append(tbl)
+                out["centers"].append(list(centers))
+                out["rows"].append([list(r) for r in rows])
+
+            for i in pdf["id"]:
+                doc_id = int(i)
+                n_pages = 2 + doc_id % 2
+                _full, top, bot = make_split_table_spec(
+                    _random.Random(f"merge-spec:{doc_id}"))
+                specs = [top, bot]
+                if n_pages == 3:
+                    # unrelated table that must NOT merge: another split
+                    # spec's top half (fully-filled first row, own col_x)
+                    specs.append(make_split_table_spec(
+                        _random.Random(f"merge-extra:{doc_id}"))[1])
+                pdf_bytes, _ = make_pdf(
+                    _random.Random(f"merge-gate:{doc_id}"), doc_id,
+                    n_pages=n_pages,
+                    dialect="modern" if doc_id % 2 else "classic",
+                    page_tables=specs)
+                r = parse_pdf(pdf_bytes)
+                for p_i, page in enumerate(r["pages"]):
+                    for t_i, (tab, cols) in enumerate(
+                            zip(page["tables"], page["table_cols"])):
+                        emit(doc_id, "det", p_i, t_i, cols, tab)
+                for exp in expected_merged_tables(specs):
+                    emit(doc_id, "spec", -1, -1, [], exp)
+            yield pd.DataFrame(out)
+
+    stream = (
+        spark.range(0, _N_MERGE_DOCS, numPartitions=8)
+        .mapInPandas(
+            run,
+            schema="doc_id long, kind string, page int, tbl int, "
+                   "centers array<double>, rows array<array<string>>")
+    )
+    det = stream.filter(F.col("kind") == "det")
+    spec = stream.filter(F.col("kind") == "spec")
+
+    w = Window.partitionBy("doc_id").orderBy("page", "tbl")
+    prev_page = F.lag("page").over(w)
+    prev_centers = F.lag("centers").over(w)
+    continues = (
+        (F.col("page") == prev_page + 1)
+        & (F.col("tbl") == 0)
+        & (F.size("centers") == F.size(prev_centers))
+        & (
+            F.aggregate(
+                F.zip_with(F.col("centers"), prev_centers,
+                           lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            <= F.lit(3.0)
+        )
+    )
+    seg = F.sum(F.when(continues, 0).otherwise(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (
+        det.withColumn("seg", seg)
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("page", "tbl", "rows"))),
+                    lambda s: s["rows"],
+                )
+            ).alias("mrows")
+        )
+        .select("doc_id",
+                F.sha2(F.to_json(F.col("mrows")), 256).alias("key"))
+        .withColumn("got", F.lit(1))
+    )
+    want = spec.select(
+        "doc_id", F.sha2(F.to_json(F.col("rows")), 256).alias("key")
+    ).withColumn("want", F.lit(1))
+    j = merged.join(want, ["doc_id", "key"], "full_outer")
+    per_doc = j.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("got").isNull() | F.col("want").isNull(), 1)
+            .otherwise(0)
+        ).alias("miss"),
+        F.sum(F.coalesce("got", F.lit(0))).alias("n_merged"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("miss") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_match"),
+        F.sum("n_merged").cast("long").alias("total_merged"),
+    )
+
+
 _N_CCITT_DOCS = 60
 _CCITT_TOTAL_PAGES = 149  # generator spec: sum of planned page counts
                           # (scripts/derive_kind_expectations.py)

@@ -192,6 +192,76 @@ def make_table_spec(rng: random.Random) -> dict:
     return {"rows": rows, "col_x": col_x}
 
 
+def make_split_table_spec(rng: random.Random) -> tuple[dict, dict, dict]:
+    """One logical grid split across a page break (the q_table_merge gate;
+    the reference's aspirational multi-page merge,
+    generate_word_doc.py:88-96, never shipped).  Returns
+    (full_spec, top_half, bottom_half) where the halves share the full
+    spec's col_x — so the detected column signatures align — and every
+    half satisfies the detector's region rules independently: >= 3 rows
+    and a FULLY-FILLED first row, so the half opens its region with every
+    column established (this gate tests the MERGE, not the detector's
+    sparse-row heuristics — q_pdf_tables covers those; a first row missing
+    a column would let a later 2-run row fall off the region and the half
+    would vanish)."""
+    n_cols = rng.randint(3, 5)
+    n_rows = rng.randint(6, 9)
+    col_x = [72.0]
+    for _ in range(n_cols - 1):
+        col_x.append(col_x[-1] + rng.randint(95, 140))
+    split = rng.randint(3, n_rows - 3)
+
+    def half_rows(n: int) -> list[list[str | None]]:
+        rows: list[list[str | None]] = []
+        for r_i in range(n):
+            row: list[str | None] = [
+                None if r_i > 0 and rng.random() < 0.15
+                else " ".join(rng.choice(_WORDS)
+                              for _ in range(rng.randint(1, 2)))
+                for _c in range(n_cols)
+            ]
+            empties = [i for i, c in enumerate(row) if c is None]
+            while sum(c is not None for c in row) < 2:
+                row[empties.pop()] = rng.choice(_WORDS)
+            rows.append(row)
+        return rows
+
+    top = half_rows(split)
+    bot = half_rows(n_rows - split)
+    full = {"rows": top + bot, "col_x": col_x}
+    return (full, {"rows": top, "col_x": col_x},
+            {"rows": bot, "col_x": col_x})
+
+
+def expected_merged_tables(
+    page_specs: list[dict | None],
+) -> list[list[list[str | None]]]:
+    """Apply the q_table_merge column-signature rule to GENERATOR specs
+    (pure spec data — no kernel): a table merges into the previous one
+    when it sits on the NEXT page and its col_x signature matches (same
+    column count, every center within 3.0).  This is the gate's ground
+    truth for what the relational merge over detected tables must emit."""
+    out: list[list[list[str | None]]] = []
+    prev_page: int | None = None
+    prev_colx: list[float] = []
+    for page, spec in enumerate(page_specs):
+        if spec is None:
+            continue
+        if (
+            out
+            and prev_page is not None
+            and page == prev_page + 1
+            and len(spec["col_x"]) == len(prev_colx)
+            and max(abs(a - b) for a, b in zip(spec["col_x"], prev_colx))
+            <= 3.0
+        ):
+            out[-1] = out[-1] + spec["rows"]
+        else:
+            out.append(list(spec["rows"]))
+        prev_page, prev_colx = page, spec["col_x"]
+    return out
+
+
 def table_spec_html(spec: dict) -> str:
     """Render a table spec as the HTML twin: one <td> per cell, empty <td>
     for None (the DOM parser keeps None-for-empty fidelity)."""

@@ -105,6 +105,26 @@ def ccitt_total_pages(n_docs: int = 60) -> int:
     return total
 
 
+def table_merge_totals(n_docs: int = 50) -> int:
+    """Expected MERGED-table total of the q_table_merge fixture set — pure
+    generator-spec logic (expected_merged_tables), no kernel."""
+    from pdf_extractor_spark.sources.synth import (
+        expected_merged_tables,
+        make_split_table_spec,
+    )
+
+    total = 0
+    for doc_id in range(n_docs):
+        _full, top, bot = make_split_table_spec(
+            random.Random(f"merge-spec:{doc_id}"))
+        specs = [top, bot]
+        if 2 + doc_id % 2 == 3:
+            specs.append(make_split_table_spec(
+                random.Random(f"merge-extra:{doc_id}"))[1])
+        total += len(expected_merged_tables(specs))
+    return total
+
+
 def raster_totals(n_docs: int = 80) -> tuple[int, int]:
     """(total_lines, total_chars) of the q_ocr_raster fixture set — pure
     spec-rng draws, independent of renderer and recognizer alike."""
@@ -160,5 +180,6 @@ if __name__ == "__main__":
     print(f"q_pdf_ucs2 total_pages: {ucs2_total_pages()}")
     print(f"q_pdf_embedded_cmap total_pages: {embcmap_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
+    print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
     print(f"q_pdf_links total_links: {links_total()}")
