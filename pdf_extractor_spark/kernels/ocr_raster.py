@@ -33,6 +33,7 @@ import numpy as np
 __all__ = [
     "GLYPH_W", "GLYPH_H", "PITCH", "ALPHABET", "OcrRasterError",
     "render_text", "recognize_text",
+    "render_text_proportional", "recognize_text_proportional",
 ]
 
 GLYPH_W, GLYPH_H = 5, 7
@@ -186,6 +187,180 @@ def recognize_text(img: np.ndarray) -> tuple[str, list[int]]:
                 best_ch, best_score = ch, score
         chars.append(best_ch)
         confs.append(int(round(50 + 45 * min(1.0, max(0.0, best_score)))))
+    return "".join(chars), confs
+
+
+# --- proportional pitch (round-5 item: recognition must stop assuming the
+# renderer's pitch) -----------------------------------------------------------
+
+#: Word gaps render 7-10 columns wide.  Glyph margins (empty template
+#: columns like 'i' col 0 or '.' cols 3-4) inflate APPARENT within-word
+#: gaps to at most 2 + 3 + 1 = 6 columns, so >= _SPACE_GAP_COLS is
+#: unambiguously a space and anything narrower is intra-word.
+_SPACE_GAP_COLS = 7
+
+
+def render_text_proportional(text: str, scale: int = 2, noise: float = 0.0,
+                             seed: object = 0) -> np.ndarray:
+    """Variable-advance rasterization: inter-glyph gaps draw 2-3 columns
+    and word gaps 7-10 columns from a seeded rng, so the pitch is NOT
+    constant and a fixed-pitch recognizer cannot read the result.  Same
+    glyph bank, scale, and salt-and-pepper noise model as render_text.
+    (The minimum advance is 2 so a glyph boundary is always >= 2 empty
+    columns — a SINGLE empty column is then unambiguously a noise dropout
+    inside a glyph, which the recognizer's segmentation absorbs.)"""
+    if not text:
+        raise OcrRasterError("empty text")
+    if text.strip() != text or "  " in text:
+        raise OcrRasterError(
+            "proportional renderer takes single-spaced, trimmed text")
+    bad = set(text) - set(ALPHABET)
+    if bad:
+        raise OcrRasterError(f"characters outside the glyph bank: {bad!r}")
+    if scale < 1:
+        raise OcrRasterError(f"scale must be >= 1, got {scale}")
+    adv = random.Random(f"ocr-adv:{seed}")
+    placements: list[tuple[str, int]] = []
+    x = 0
+    for ch in text:
+        if ch == " ":
+            x += adv.randint(_SPACE_GAP_COLS, _SPACE_GAP_COLS + 3)
+            continue
+        placements.append((ch, x))
+        x += GLYPH_W + adv.randint(2, 3)
+    w_cols = placements[-1][1] + GLYPH_W  # trim the trailing advance
+    img = np.zeros((GLYPH_H * scale, w_cols * scale), dtype=np.uint8)
+    for ch, cx in placements:
+        cell = np.kron(_bitmap(ch), np.ones((scale, scale))) * 255
+        img[:, cx * scale:(cx + GLYPH_W) * scale] = cell.astype(np.uint8)
+    if noise > 0.0:
+        rng = random.Random(f"ocr-noise:{seed}")
+        flip = np.array(
+            [rng.random() < noise for _ in range(img.size)]
+        ).reshape(img.shape)
+        img = np.where(flip, 255 - img, img).astype(np.uint8)
+    return img
+
+
+#: DP costs: a column read as GAP costs its ink (noise specks cost a
+#: little, a real glyph column read as gap costs a lot); a glyph emission
+#: pays a fixed entry cost so a 5-column noise window (whose best template
+#: correlation stays well under it) can never outscore staying in gap.
+_GAP_INK_COST = 3.0
+_GLYPH_ENTRY_COST = 0.55
+
+
+def recognize_text_proportional(img: np.ndarray) -> tuple[str, list[int]]:
+    """Proportional raster -> (text, per-glyph confidence in [50, 95]).
+
+    No pitch assumption — segmentation and recognition are solved JOINTLY
+    by a Viterbi-style dynamic program over the column profile, the way
+    classical OCR line decoders work: from each column the parse either
+    (a) treats the column as gap, paying its ink as cost, or (b) emits a
+    glyph spanning exactly GLYPH_W columns, earning that window's best
+    zero-mean normalized cross-correlation minus a fixed entry cost.
+    Thresholded projections cannot decide locally whether a weak column
+    is an eroded glyph stroke or a noise-dilated gap (the failure mode
+    that capped the first implementation); the global optimum settles it
+    by what makes the WHOLE line parse best.  Gaps of >=
+    _SPACE_GAP_COLS between chosen glyphs read as spaces.  The
+    recognizer reads only pixels."""
+    a = np.asarray(img, dtype=np.float64)
+    if a.ndim != 2 or a.size == 0:
+        raise OcrRasterError("raster must be a non-empty 2-D array")
+    h, w = a.shape
+    if h % GLYPH_H:
+        raise OcrRasterError(f"height {h} is not a multiple of {GLYPH_H}")
+    scale = h // GLYPH_H
+    if w % scale:
+        raise OcrRasterError(
+            f"width {w} is not a multiple of the scale {scale}")
+    raw = a / 255.0
+    n_cols = w // scale
+    cols = raw.reshape(h, n_cols, scale)
+    col_ink = cols.mean(axis=(0, 2))
+
+    # best (char, correlation) per GLYPH_W-column window, vectorized:
+    # block-average every window start to a 7x5 patch, zero-mean, and
+    # correlate against the whole template bank at once
+    n_win = n_cols - GLYPH_W + 1
+    if n_win <= 0:
+        raise OcrRasterError("raster narrower than one glyph")
+    grid = cols.mean(axis=2).reshape(GLYPH_H, scale, n_cols).mean(axis=1)
+    wins = np.stack(
+        [grid[:, i:i + GLYPH_W] for i in range(n_win)])  # (n_win, 7, 5)
+    wz = wins - wins.mean(axis=(1, 2), keepdims=True)
+    wn = np.sqrt((wz * wz).sum(axis=(1, 2)))
+    bank = _templates()
+    tz = np.stack([t[2] for t in bank])                   # (n_t, 7, 5)
+    tn = np.array([t[3] for t in bank])
+    scores = np.einsum("whc,thc->wt", wz, tz) / (
+        np.maximum(wn, 1e-12)[:, None] * tn[None, :])
+    best_t = scores.argmax(axis=1)
+    best_corr = scores[np.arange(n_win), best_t]
+    # hard ink floor: normalized correlation is scale-free, so a SPARSE
+    # noise window (a few flipped pixels) can still correlate deceptively
+    # well — but it cannot carry glyph-sized ink.  The lightest glyph
+    # ('.') paints 4 scale^2 pixels; windows below half that can never
+    # emit a glyph.
+    win_ink = np.array([
+        raw[:, i * scale:(i + GLYPH_W) * scale].sum() for i in range(n_win)
+    ])
+    best_corr = np.where(
+        win_ink >= 2.0 * scale * scale, best_corr, -1.0)
+
+    # 3-state DP enforcing the renderer's geometry: consecutive glyphs are
+    # always separated by >= 2 gap columns (minimum advance), so a glyph
+    # may only be emitted after >= 2 gap steps (or at line start).  This
+    # makes overlap-phantom parses — splitting one glyph into two partial
+    # windows, the dominant noise failure — structurally infeasible
+    # instead of merely expensive.  States: 0 = glyph just ended,
+    # 1 = one gap step since, 2 = free to emit.
+    NEG = float("-inf")
+    dp = np.full((3, n_cols + 1), NEG)
+    dp[2, 0] = 0.0
+    back: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for i in range(n_cols):
+        gap_cost = _GAP_INK_COST * col_ink[i]
+        for st in (0, 1, 2):
+            if dp[st, i] == NEG:
+                continue
+            nxt = min(st + 1, 2)
+            s = dp[st, i] - gap_cost
+            if s > dp[nxt, i + 1]:
+                dp[nxt, i + 1] = s
+                back[(nxt, i + 1)] = (st, i, -1)
+        if i < n_win and dp[2, i] != NEG:
+            s = dp[2, i] + best_corr[i] - _GLYPH_ENTRY_COST
+            if s > dp[0, i + GLYPH_W]:
+                dp[0, i + GLYPH_W] = s
+                back[(0, i + GLYPH_W)] = (2, i, int(best_t[i]))
+    # reconstruct from the best final state
+    st = int(np.argmax(dp[:, n_cols]))
+    if dp[st, n_cols] == NEG:
+        raise OcrRasterError("no recognizable glyphs in raster")
+    glyphs: list[tuple[int, int]] = []  # (start col, template index)
+    i = n_cols
+    while i > 0:
+        st, prev, t = back[(st, i)]
+        if t >= 0:
+            glyphs.append((prev, t))
+        i = prev
+    if not glyphs:
+        raise OcrRasterError("no recognizable glyphs in raster")
+    glyphs.reverse()
+
+    chars: list[str] = []
+    confs: list[int] = []
+    prev_end: int | None = None
+    for start, t in glyphs:
+        if prev_end is not None and start - prev_end >= _SPACE_GAP_COLS:
+            chars.append(" ")
+            confs.append(95)
+        prev_end = start + GLYPH_W
+        corr = float(best_corr[start])
+        chars.append(bank[t][0])
+        confs.append(int(round(50 + 45 * min(1.0, max(0.0, corr)))))
     return "".join(chars), confs
 
 

@@ -106,6 +106,14 @@ AUDITS = [
      "note": "round 4: OCR-raster table gate — render/recognize/cluster entirely in the Arrow stage; single final-agg exchange"}),
     ("q_ocr_raster", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only raster-OCR recognition gate (render -> PNG round-trip -> template matching); single final-agg exchange"}),
+    ("q_ocr_proportional", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: proportional-pitch recognition gate (variable-advance render -> PNG round-trip -> joint segmentation+recognition DP); single final-agg exchange"}),
+    ("q_pdf_embedded_cmap", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only embedded-/Encoding-CMap decode gate (code->CID stream composed with descendant font program); single final-agg exchange"}),
+    ("q_ccitt", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only CCITT G4/G3-1D twin gate (Flate-gray vs CCITT pixel identity); single final-agg exchange"}),
+    ("q_table_merge", {"arrow_python": True,
+     "note": "round 5: multi-page table merge — Arrow stage emits the exploded tables stream; the MERGE itself is relational (window lag on column signature -> running-sum segments -> groupBy stitch)"}),
     ("q_pdf_links", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 4: map-only /Annots link-URI harvesting gate (PDF + DOM twins vs spec); single final-agg exchange"}),
     ("q_substring_dedup", {"max_exchanges": 4,
