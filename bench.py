@@ -56,6 +56,11 @@ BENCH_QUERIES = [
     "q_unicode_norm",      # Arrow NFC normalization projection (round 4)
     "q_hash_embed",        # zero-shuffle hashing-trick featurizer (round 4)
     "q_kmv_distinct",      # KMV distinct-shingle sketch (round 4)
+    "q_pdf_embedded_cmap",  # embedded /Encoding CMap-stream gate (round 5)
+    "q_ccitt",             # CCITT G4/G3-1D pixel-identity gate (round 5)
+    "q_table_merge",       # relational multi-page table merge (round 5)
+    "q_ocr_proportional",  # variable-pitch DP recognition gate (round 5)
+    "q_dedup_verify_capped",  # per-bucket-capped pair verify (round 5)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.
@@ -134,10 +139,11 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v6: round-4 corpus — adds the LZW dialect share, encrypted PDFs on
-    # the hot path, and grid-table pages — the version tag invalidates any
-    # stale staged corpus (text goldens are unchanged; payload bytes are not)
-    corpus_path = f"/tmp/bench_corpus_v6_{N_EXTRACT}"
+    # v7: round-5 corpus — adds CCITT bilevel image payloads and the
+    # embedded-CMap / FontFile2 / UCS2 composite-font shares — the version
+    # tag invalidates any stale staged corpus (text goldens are unchanged;
+    # payload bytes are not)
+    corpus_path = f"/tmp/bench_corpus_v7_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -40,13 +40,28 @@ FRAME_SCHEMA = "doc_id long, frame_idx long"
 
 
 def decode_image_real(payload: bytes, width: int | None = None,
-                      height: int | None = None) -> dict:
-    """Real image decode (kernels/png.py + kernels/jpeg.py).
+                      height: int | None = None,
+                      fmt: str | None = None) -> dict:
+    """Real image decode (kernels/png.py + kernels/jpeg.py + ccitt.py).
 
     PNG and JPEG payloads (sequential or progressive) are self-describing;
     zlib raw-RGB payloads (PDF /FlateDecode /DeviceRGB XObjects) need the
-    declared width/height from the XObject dict.  Arithmetic-coded JPEG
-    raises JpegError from the kernel — the error-side-channel route."""
+    declared width/height from the XObject dict; ``fmt='bilevel'`` (CCITT
+    images — the kernel already ran the filter, the payload is packed
+    1-bit rows) additionally needs the format tag since packed bits carry
+    no magic.  Arithmetic-coded JPEG raises JpegError from the kernel —
+    the error-side-channel route."""
+    if fmt == "bilevel":
+        if not (width and height):
+            raise PngError("bilevel payload needs width/height")
+        from ..kernels.ccitt import CcittError, unpack_bilevel
+
+        try:
+            px = unpack_bilevel(payload, width, height)
+        except CcittError as e:
+            raise PngError(f"bilevel payload: {e}") from e
+        return {"width": width, "height": height, "channels": 1,
+                "pixels": px, "fmt": "bilevel"}
     if payload.startswith(b"\x89PNG\r\n\x1a\n"):
         w, h, ch, px = decode_png(payload)
         return {"width": w, "height": h, "channels": ch, "pixels": px,
@@ -149,14 +164,15 @@ def q_mm_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 def enhance_image_real(payload: bytes, max_side: int = 600,
                        width: int | None = None,
-                       height: int | None = None) -> bytes:
+                       height: int | None = None,
+                       fmt: str | None = None) -> bytes:
     """Real enhance/thumbnail (reference simple_extract.py:52-78: contrast
     x1.3, sharpness x1.5, bounded thumbnail): decode -> integer-exact
     enhance -> box-filter thumbnail -> PNG re-encode.  Every output byte is
     a deterministic function of the input — unlike Pillow's LANCZOS, which
     is library-version-dependent (why the reference path is out of
     byte-identity scope and this one is in)."""
-    img = decode_image_real(payload, width=width, height=height)
+    img = decode_image_real(payload, width=width, height=height, fmt=fmt)
     px = enhance(img["width"], img["height"], img["channels"], img["pixels"])
     tw, th, tpx = thumbnail(img["width"], img["height"], img["channels"],
                             px, max_side=max_side)

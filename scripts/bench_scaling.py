@@ -50,9 +50,10 @@ N_DOCS = int(os.environ.get("SPARK_SCALE_DOCS", "200000"))
 GEN_PARTS = 64
 ROUNDS = int(os.environ.get("SPARK_SCALE_ROUNDS", "5"))
 RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "2"))
-# v6: round-4 generator content (adds LZW content streams, encrypted hot
-# path, grid-table pages — the tag invalidates stale staged corpora)
-CORPUS = f"/tmp/scale_corpus_v6_{N_DOCS}"
+# v7: round-5 generator content (adds CCITT bilevel image payloads and the
+# embedded-CMap / FontFile2 / UCS2 font shares — the tag invalidates stale
+# staged corpora)
+CORPUS = f"/tmp/scale_corpus_v7_{N_DOCS}"
 OUT = "/tmp/scale_out"
 SIZES = [4, 8, 16]  # N, 2N, 4N
 

@@ -142,16 +142,20 @@ def test_pdf_images_decode_through_real_codec():
         for page in parse_pdf(pdf_bytes)["pages"]:
             for img in page["images"]:
                 dec = decode_image_real(
-                    img["payload"], width=img["width"], height=img["height"]
+                    img["payload"], width=img["width"],
+                    height=img["height"], fmt=img["format"],
                 )
-                assert dec["channels"] == 3
-                assert len(dec["pixels"]) == img["width"] * img["height"] * 3
+                want_ch = 1 if img["format"] == "bilevel" else 3
+                assert dec["channels"] == want_ch
+                assert len(dec["pixels"]) == (
+                    img["width"] * img["height"] * want_ch)
                 out = enhance_image_real(
                     img["payload"], max_side=40,
                     width=img["width"], height=img["height"],
+                    fmt=img["format"],
                 )
                 w, h, ch, _px = decode_png(out)
-                assert max(w, h) <= 40 and ch == 3
+                assert max(w, h) <= 40 and ch == want_ch
                 n_seen += 1
     assert n_seen >= 5  # the fixture set genuinely contains images
 
