@@ -135,21 +135,20 @@ class _BitReader:
     __slots__ = ("data", "pos", "nbits")
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        # 4 zero pad bytes so peek can always slice 5 bytes (max peek is
+        # 24 bits + 7 bits of intra-byte offset = 31 < 40)
+        self.data = data + b"\x00\x00\x00\x00"
         self.pos = 0  # bit position
         self.nbits = len(data) * 8
 
     def peek(self, n: int) -> int:
-        """Next n bits MSB-first, zero-padded past the end."""
-        v = 0
+        """Next n bits MSB-first, zero-padded past the end — O(1): one
+        5-byte slice to int instead of a per-bit loop (the decoder's
+        hottest call; the bit-loop version made a CCITT-bearing corpus
+        doc parse ~60x slower than its Flate twin)."""
         p = self.pos
-        for i in range(n):
-            bit = 0
-            if p + i < self.nbits:
-                byte = self.data[(p + i) >> 3]
-                bit = (byte >> (7 - ((p + i) & 7))) & 1
-            v = (v << 1) | bit
-        return v
+        chunk = int.from_bytes(self.data[p >> 3:(p >> 3) + 5], "big")
+        return (chunk >> (40 - (p & 7) - n)) & ((1 << n) - 1)
 
     def skip(self, n: int) -> None:
         self.pos += n
@@ -162,11 +161,13 @@ class _BitReader:
 
 
 def _read_run(br: _BitReader, table: dict) -> int:
-    """One MH run: zero or more makeup codes followed by a terminal code."""
+    """One MH run: zero or more makeup codes followed by a terminal code.
+    One 14-bit peek per code; candidate lengths tested by masking."""
     total = 0
     while True:
+        bits = br.peek(_MAX_CODE_BITS)
         for ln in range(1, _MAX_CODE_BITS + 1):
-            hit = table.get((ln, br.peek(ln)))
+            hit = table.get((ln, bits >> (_MAX_CODE_BITS - ln)))
             if hit is not None:
                 br.skip(ln)
                 total += hit
@@ -211,34 +212,20 @@ def _transitions_to_packed(trans: list[int], columns: int,
                            black_is_1: bool) -> bytes:
     """Changing-element positions -> one packed row.  ``trans`` alternates
     white->black (even index) / black->white transitions.  Default PDF
-    semantics (BlackIs1 false): white = 1 bits, black = 0 bits."""
-    rowbytes = (columns + 7) >> 3
-    if black_is_1:
-        row = bytearray(rowbytes)  # start all-0 = all-white
-        fill, clear = 1, 0
-    else:
-        row = bytearray(b"\xff" * rowbytes)  # all-1 = all-white
-        if columns & 7:  # keep pad bits zero
-            row[-1] = (0xFF << (8 - (columns & 7))) & 0xFF
-        fill, clear = 0, 1
+    semantics (BlackIs1 false): white = 1 bits, black = 0 bits.  Spans
+    paint as numpy slice assignments + packbits (per-pixel Python loops
+    dominated the decode profile)."""
+    import numpy as np
+
+    bits = np.zeros(columns, dtype=np.uint8) if black_is_1 else \
+        np.ones(columns, dtype=np.uint8)
+    black = 1 if black_is_1 else 0
     # paint black spans [trans[2i], trans[2i+1])
     for i in range(0, len(trans) - 1, 2):
-        lo, hi = trans[i], min(trans[i + 1], columns)
-        for x in range(lo, hi):
-            byte, bit = x >> 3, 7 - (x & 7)
-            if fill:
-                row[byte] |= 1 << bit
-            else:
-                row[byte] &= ~(1 << bit)
+        bits[trans[i]:min(trans[i + 1], columns)] = black
     if len(trans) % 2 == 1:  # open black span to end of row
-        for x in range(trans[-1], columns):
-            byte, bit = x >> 3, 7 - (x & 7)
-            if fill:
-                row[byte] |= 1 << bit
-            else:
-                row[byte] &= ~(1 << bit)
-    _ = clear
-    return bytes(row)
+        bits[trans[-1]:columns] = black
+    return np.packbits(bits).tobytes()  # pad bits are zero either way
 
 
 def _decode_1d_row(br: _BitReader, columns: int) -> list[int]:
@@ -260,41 +247,45 @@ def _decode_1d_row(br: _BitReader, columns: int) -> list[int]:
 
 def _decode_2d_row(br: _BitReader, ref: list[int],
                    columns: int) -> list[int]:
-    """One T.6 2-D row against reference-line transitions ``ref``."""
+    """One T.6 2-D row against reference-line transitions ``ref``.  One
+    7-bit peek decides the mode; the b1 search resumes from the previous
+    match (a0 is non-decreasing), so a row decodes in O(codes + |ref|)."""
     cur: list[int] = []
     a0 = -1
     color = 0  # 0 = white
+    n_ref = len(ref)
+    j = 0
     while a0 < columns:
         # b1: first ref transition strictly right of a0 whose parity makes
         # it a transition to the opposite of the current color (even index
         # = white->black transition)
-        j = 0
-        while j < len(ref) and ref[j] <= a0:
+        while j > 0 and ref[j - 1] > a0:
+            j -= 1  # vertical-left moves can step a0 backwards slightly
+        while j < n_ref and ref[j] <= a0:
             j += 1
-        if (j & 1) != color:
-            j += 1
-        b1 = ref[j] if j < len(ref) else columns
-        b2 = ref[j + 1] if j + 1 < len(ref) else columns
+        k = j + 1 if (j & 1) != color else j
+        b1 = ref[k] if k < n_ref else columns
+        b2 = ref[k + 1] if k + 1 < n_ref else columns
 
         if br.exhausted():
             raise CcittError("2-D data exhausted mid-row")
-        # mode codes, longest first where prefixes collide
-        if br.peek(1) == 0b1:  # V0
+        v7 = br.peek(7)
+        if v7 >= 0b1000000:  # V0: '1'
             br.skip(1)
             a1 = b1
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(3) == 0b011:  # VR1
+        elif v7 >= 0b0110000:  # VR1: '011'
             br.skip(3)
             a1 = b1 + 1
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(3) == 0b010:  # VL1
+        elif v7 >= 0b0100000:  # VL1: '010'
             br.skip(3)
             a1 = b1 - 1
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(3) == 0b001:  # horizontal
+        elif v7 >= 0b0010000:  # horizontal: '001'
             br.skip(3)
             base = a0 if a0 > 0 else 0
             r1 = _read_run(br, _WHITE_ALL if color == 0 else _BLACK_ALL)
@@ -304,25 +295,25 @@ def _decode_2d_row(br: _BitReader, ref: list[int],
             cur.append(a1)
             cur.append(a2)
             a0 = a2  # color unchanged (two runs flip twice)
-        elif br.peek(4) == 0b0001:  # pass
+        elif v7 >= 0b0001000:  # pass: '0001'
             br.skip(4)
             a0 = b2  # color unchanged, no transition recorded
-        elif br.peek(6) == 0b000011:  # VR2
+        elif (v7 >> 1) == 0b000011:  # VR2: '000011'
             br.skip(6)
             a1 = b1 + 2
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(6) == 0b000010:  # VL2
+        elif (v7 >> 1) == 0b000010:  # VL2: '000010'
             br.skip(6)
             a1 = b1 - 2
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(7) == 0b0000011:  # VR3
+        elif v7 == 0b0000011:  # VR3
             br.skip(7)
             a1 = b1 + 3
             cur.append(a1)
             a0, color = a1, color ^ 1
-        elif br.peek(7) == 0b0000010:  # VL3
+        elif v7 == 0b0000010:  # VL3
             br.skip(7)
             a1 = b1 - 3
             cur.append(a1)
@@ -392,14 +383,13 @@ def unpack_bilevel(packed: bytes, width: int, height: int,
                    black_is_1: bool = False) -> bytes:
     """Packed 1-bit rows -> 8-bit grayscale bytes (0x00 black, 0xff white),
     the representation the pixel-level pipeline stages consume."""
+    import numpy as np
+
     rowbytes = (width + 7) >> 3
     if len(packed) < rowbytes * height:
         raise CcittError("packed bilevel data shorter than width*height")
-    out = bytearray(width * height)
-    for y in range(height):
-        base = y * rowbytes
-        for x in range(width):
-            bit = (packed[base + (x >> 3)] >> (7 - (x & 7))) & 1
-            white = (bit == 0) if black_is_1 else (bit == 1)
-            out[y * width + x] = 0xFF if white else 0x00
-    return bytes(out)
+    rows = np.frombuffer(
+        packed[:rowbytes * height], dtype=np.uint8).reshape(height, rowbytes)
+    bits = np.unpackbits(rows, axis=1)[:, :width]
+    white = (bits == 0) if black_is_1 else (bits == 1)
+    return (white.astype(np.uint8) * 0xFF).tobytes()

@@ -192,13 +192,21 @@ def encode_g3_1d(gray: bytes, width: int, height: int) -> bytes:
 
 
 def bilevel_gradient(width: int, height: int, seed: bytes) -> bytes:
-    """Deterministic bilevel test raster as 8-bit gray (0x00 / 0xff):
-    a thresholded version of the corpus gradient, so CCITT twins can be
-    compared pixel-for-pixel with a Flate-gray serialization."""
-    out = bytearray(width * height)
+    """Deterministic bilevel test raster as 8-bit gray (0x00 / 0xff), so
+    CCITT twins can be compared pixel-for-pixel with a Flate-gray
+    serialization.  The pattern is DOCUMENT-LIKE — thresholded smooth
+    ramps with seed-dependent 16x16-block offsets giving multi-pixel
+    runs — because run-length formats exist for scans with long runs; a
+    per-pixel noise term would make every run ~2 px and the decode cost
+    pathological rather than representative (it also left makeup codes
+    under-exercised)."""
+    import numpy as np
+
     n = len(seed)
-    for y in range(height):
-        for x in range(width):
-            v = (x * 7 + y * 13 + seed[(x + y) % n]) & 0xFF
-            out[y * width + x] = 0xFF if v >= 0x80 else 0x00
-    return bytes(out)
+    sarr = np.frombuffer(seed, dtype=np.uint8).astype(np.int64)
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height, dtype=np.int64)
+    row_base = sarr[(ys >> 3) % n][:, None]
+    blk = sarr[(((xs[None, :] >> 4) + (ys[:, None] >> 4)) % n)]
+    v = (xs[None, :] * 7 + ys[:, None] * 13 + row_base + blk) & 0xFF
+    return np.where(v >= 0x80, 0xFF, 0).astype(np.uint8).tobytes()
