@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_table_merge",       # relational multi-page table merge (round 5)
     "q_ocr_proportional",  # variable-pitch DP recognition gate (round 5)
     "q_dedup_verify_capped",  # per-bucket-capped pair verify (round 5)
+    "q_pdf_cjk",           # predefined national-encoding CMap gate (round 5)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.

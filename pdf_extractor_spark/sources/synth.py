@@ -36,14 +36,45 @@ _WORDS = (
 
 _LATIN1_EXTRA = ["caf\xe9", "na\xefve", "\xfcber", "se\xf1or"]
 
+#: CJK word pools for the predefined-CMap font routes.  Each pool mixes a
+#: CJK vocabulary (encodable in the matching national codec — asserted by
+#: tests/test_pdf_codec_cmap.py) with a few ASCII words so every document
+#: exercises BOTH the 1-byte and 2-byte halves of the encoding's code
+#: space.  Keyed by the ``charset`` parameter of make_pdf.
+_CJK_ASCII_MIX = ("data", "table", "query", "row", "page", "index")
+_CJK_POOLS: dict[str, tuple[str, ...]] = {
+    "ja": tuple(
+        "データ 表 照会 列 行 区分 結合 抽出 解析 文書 画像 頁 索引 字句 "
+        "流れ 整列 集計 値 分割 偏り 本文 見出し 脚注 余白".split()
+    ) + _CJK_ASCII_MIX,
+    "zh-hans": tuple(
+        "数据 表格 查询 列 行 批次 连接 过滤 扫描 页面 文本 图像 抓取 词元 "
+        "字节 索引 哈希 合并 排序 分组 正文 标题 脚注 边距".split()
+    ) + _CJK_ASCII_MIX,
+    "zh-hant": tuple(
+        "資料 表格 查詢 欄位 行 批次 連接 過濾 掃描 頁面 文字 圖像 擷取 詞元 "
+        "位元 索引 雜湊 合併 排序 分組 正文 標題 腳註 邊距".split()
+    ) + _CJK_ASCII_MIX,
+    "ko": tuple(
+        "데이터 테이블 질의 열 행 배치 조인 필터 스캔 페이지 텍스트 이미지 "
+        "토큰 바이트 색인 해시 병합 정렬 그룹 값 본문 제목 각주 여백".split()
+    ) + _CJK_ASCII_MIX,
+}
+
 HEAVY_HOST = "heavy.example.com"
 _BASE_TS = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
 
 
-def _sentence(rng: random.Random, n: int) -> str:
-    ws = [rng.choice(_WORDS) for _ in range(n)]
+def _sentence(rng: random.Random, n: int,
+              pool: tuple[str, ...] | list[str] = _WORDS,
+              extra: list[str] | None = _LATIN1_EXTRA) -> str:
+    """One synthetic sentence from ``pool``.  The default arguments make
+    EXACTLY the rng draws the pre-``charset`` generator made, so every
+    existing corpus and gate stays byte-identical; CJK pools pass
+    ``extra=None`` (the 10% draw then appends another pool word)."""
+    ws = [rng.choice(pool) for _ in range(n)]
     if rng.random() < 0.1:
-        ws.append(rng.choice(_LATIN1_EXTRA))
+        ws.append(rng.choice(extra if extra is not None else pool))
     s = " ".join(ws)
     return s[0].upper() + s[1:] + "."
 
@@ -112,6 +143,21 @@ def _tounicode_cmap(assign: dict[str, int]) -> bytes:
 #: are CID + this, so code != CID and the parser can only recover text by
 #: actually applying the embedded /Encoding CMap's code->CID mapping.
 CID_CMAP_CODE_OFFSET = 0x2100
+
+#: Predefined national-encoding / UTF-16 CMap font routes:
+#: font value -> (/Encoding CMap name, codec the show-string bytes are
+#: written in, CID collection Ordering, Supplement).  The writer encodes
+#: show strings with the codec DIRECTLY (that is what those CMaps' code
+#: spaces are, PDF 32000-1 §9.7.5.2 Table 118); the parser must route the
+#: CMap NAME to the right decode to recover the text — a routing mistake
+#: (e.g. reading ETen-B5 bytes as GBK) garbles every CJK character.
+_CODEC_FONT_ROUTES: dict[str, tuple[str, str, str, int]] = {
+    "cid-rksj": ("90ms-RKSJ-H", "cp932", "Japan1", 6),
+    "cid-gbk": ("GBK-EUC-H", "gbk", "GB1", 2),
+    "cid-b5": ("ETen-B5-H", "cp950", "CNS1", 0),
+    "cid-uhc": ("KSCms-UHC-H", "cp949", "Korea1", 1),
+    "cid-utf16": ("UniJIS-UTF16-H", "utf-16-be", "Japan1", 6),
+}
 
 
 def _encoding_cid_cmap(assign: dict[str, int]) -> bytes:
@@ -503,6 +549,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              page_tables: list[dict] | None = None,
              page_links: list[list[str]] | None = None,
              image_coding: str | None = None,
+             charset: str = "latin",
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -541,6 +588,17 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     no /ToUnicode; CID -> unicode comes from the embedded TrueType
     program as in 'cid-fontfile'.  Codes differ from CIDs, so text only
     round-trips if the parser applies the CMap.  No rng draws.
+    ``font='cid-rksj' / 'cid-gbk' / 'cid-b5' / 'cid-uhc' / 'cid-utf16'``:
+    a Type0 font naming a PREDEFINED national-encoding / UTF-16 CMap
+    (_CODEC_FONT_ROUTES); show strings are hex strings of the encoding's
+    own bytes (Shift-JIS / GBK / Big5 / UHC / UTF-16BE).  No /ToUnicode,
+    no /FontFile2, no rng draws.  Pair with a ``charset`` whose pool the
+    encoding covers ('ja'/'zh-hans'/'zh-hant'/'ko'; 'cid-utf16' and
+    'cid-ucs2' cover all of them).
+
+    ``charset``: 'latin' (default — byte-identical rng draws to the
+    pre-charset generator) or a _CJK_POOLS key; swaps the sentence word
+    pool so CJK font routes have text their encodings can express.
 
     ``image_coding``: None (default mix: RGB Flate / JPEG dialects / a
     CCITT bilevel share keyed off seed64), or force EVERY image in the
@@ -562,10 +620,16 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         raise ValueError("page_tables length must equal n_pages")
     if page_links is not None and len(page_links) != n_pages:
         raise ValueError("page_links length must equal n_pages")
+    if charset == "latin":
+        pool, extra = _WORDS, _LATIN1_EXTRA
+    else:
+        pool, extra = _CJK_POOLS[charset], None
     page_paras: list[list[str]] = []
     for _ in range(n_pages):
         n = rng.randint(3, 10)
-        page_paras.append([_sentence(rng, rng.randint(4, 9)) for _ in range(n)])
+        page_paras.append([
+            _sentence(rng, rng.randint(4, 9), pool=pool, extra=extra)
+            for _ in range(n)])
     # expected reading-order lines = paragraphs, then the grid rows below
     page_lines = [list(p) for p in page_paras]
     if page_tables is not None:
@@ -618,6 +682,31 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
 
         def encode_string(s: str) -> bytes:
             return b"<" + s.encode("utf-16-be").hex().encode() + b">"
+    elif font in _CODEC_FONT_ROUTES:
+        # Type0 with a PREDEFINED national-encoding / UTF-16 CMap
+        # (/Encoding /90ms-RKSJ-H, /GBK-EUC-H, /ETen-B5-H, /KSCms-UHC-H,
+        # /UniJIS-UTF16-H): no /ToUnicode, no /FontFile2 — show strings
+        # are the encoding's own bytes, which is exactly what the parser
+        # must route by CMap NAME to recover (kernels/pdf.py
+        # _CodecCMapDecoder).  No rng draws — TEXT is font-invariant.
+        enc_name, codec, ordering, supplement = _CODEC_FONT_ROUTES[font]
+        desc_id = next_id
+        next_id += 1
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+            + ordering.encode() + b" /Encoding /" + enc_name.encode()
+            + b" /DescendantFonts [%d 0 R] >>" % desc_id
+        )
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth"
+            + ordering.encode()
+            + b" /CIDSystemInfo << /Registry " + strenc(desc_id, "Adobe")
+            + b" /Ordering " + strenc(desc_id, ordering)
+            + b" /Supplement %d >> /CIDToGIDMap /Identity >>" % supplement
+        )
+
+        def encode_string(s: str, _codec: str = codec) -> bytes:
+            return b"<" + s.encode(_codec).hex().encode() + b">"
     elif font in ("cid", "cid-fontfile", "cid-cmap"):
         assign = _cid_assignment(page_lines)
         desc_id = next_id

@@ -93,6 +93,23 @@ def embcmap_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def cjk_total_pages(n_docs: int = 80) -> int:
+    """Planned page total of the q_pdf_cjk fixture set (page plan is the
+    generator's FIRST rng draw — before any charset-dependent word draws —
+    so it is font- and charset-invariant; computed here with the gate's
+    exact per-doc route anyway)."""
+    from pdf_extractor_spark.operators.pipeline_queries import _CJK_ROUTES
+
+    total = 0
+    for doc_id in range(n_docs):
+        font, charset = _CJK_ROUTES[doc_id % len(_CJK_ROUTES)]
+        rng = random.Random(f"cjk-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font=font, charset=charset,
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def ccitt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_ccitt fixture set (page plan is
     image-coding-invariant — same rng draw sequence either way)."""
@@ -179,6 +196,7 @@ if __name__ == "__main__":
     print(f"q_pdf_fontcmap total_pages: {fontcmap_total_pages()}")
     print(f"q_pdf_ucs2 total_pages: {ucs2_total_pages()}")
     print(f"q_pdf_embedded_cmap total_pages: {embcmap_total_pages()}")
+    print(f"q_pdf_cjk total_pages: {cjk_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
