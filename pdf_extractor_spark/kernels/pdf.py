@@ -23,15 +23,16 @@ national-encoding / UTF-16 CMaps (90ms-RKSJ, GBK-EUC, ETen-B5,
 KSCms-UHC, Uni*-UTF16 families — decoded via the stdlib codec whose
 byte sequences those CMaps consume), embedded
 /Encoding CMap streams (cidchar/cidrange code->CID composed with the
-descendant font program), or an Identity-encoded FontFile2 cmap, and
+descendant font program; uniform AND mixed-width codespaces, with
+per-byte range code splitting), or an Identity-encoded FontFile2
+cmap, and
 standard-security-handler encryption with an empty user password
 (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2, and AES-256 V5
 R5/R6 /AESV3 incl. the ISO 32000-2 Algorithm 2.B iterated KDF —
 kernels/crypto.py holds the from-scratch RC4/AES primitives).
 Remaining out-of-dialect constructs (a Type0 font naming a predefined
 CMap outside the families above with no embedded mapping to fall
-back on, /UseCMap composition, mixed-width codespaces in EMBEDDED
-CMap streams,
+back on, /UseCMap composition,
 non-Standard security handlers, real passwords) raise ``PdfError`` so
 the pipeline can route the row to the error side-channel instead of
 crashing the task (SURVEY.md OP-32 mapping).
@@ -1127,51 +1128,58 @@ _CIDRANGE_TRIPLE = re.compile(
 _MAX_CID_ENTRIES = 1 << 17  # bomb guard: 2 bytes of code space = 65536
 
 
-def _parse_cid_cmap(data: bytes) -> tuple[dict[int, int], int]:
+def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list]:
     """Embedded CMap stream (/Encoding, PDF 32000-1 §9.7.5.3) ->
-    (code -> CID map, code byte width).
+    (code -> CID map keyed by the code's raw BYTES, codespace ranges
+    [(lo_bytes, hi_bytes), ...]).
 
     Parses cidchar pairs (<code> cid) and cidrange triples
     (<lo> <hi> startCID) — the code->CID half of the CMap grammar the
-    ToUnicode parser above already implements for code->unicode.  Code
-    width comes from the codespacerange; CMaps mixing widths across
-    ranges, or with /UseCMap composition, are out of dialect and
-    error-route (the reference reads them via MuPDF's CMap machinery,
-    text_extractor.py:51-53)."""
+    ToUnicode parser above already implements for code->unicode.  A
+    code's width is the byte length of its hex token, so MIXED-width
+    codespaces (e.g. 1-byte ASCII plus 2-byte CJK ranges, the shape of
+    every real RKSJ/EUC-style CMap) parse fine; the caller splits show
+    strings against the returned ranges (_VarWidthCidDecoder).  /UseCMap
+    composition stays out of dialect and error-routes (the reference
+    reads those via MuPDF's CMap machinery, text_extractor.py:51-53)."""
     if b"usecmap" in data:
         raise PdfError("embedded CMap: /UseCMap composition unsupported")
-    width = 2
-    widths = set()
+    ranges: list[tuple[bytes, bytes]] = []
     m = _CSRANGE_RE.search(data)
     if m:
-        for tok in _HEX_TOK.findall(m.group(1)):
-            widths.add(max(1, len(_hexbytes(tok))))
-        if len(widths) > 1:
-            raise PdfError(
-                f"embedded CMap: mixed code widths {sorted(widths)}")
-        if widths:
-            width = widths.pop()
-    code2cid: dict[int, int] = {}
+        toks = _HEX_TOK.findall(m.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            lo, hi = _hexbytes(toks[i]), _hexbytes(toks[i + 1])
+            if not lo or len(lo) != len(hi) or hi < lo:
+                raise PdfError("embedded CMap: bad codespace range")
+            ranges.append((lo, hi))
+    if not ranges:
+        ranges = [(b"\x00\x00", b"\xff\xff")]  # Identity-style default
+    code2cid: dict[bytes, int] = {}
     work = 0  # cumulative mapping entries, counting overwrites (CPU bound)
     for sec in _CIDCHAR_RE.findall(data):
         for hx, cid in _CIDCHAR_PAIR.findall(sec):
-            code2cid[int.from_bytes(_hexbytes(hx), "big")] = int(cid)
+            code2cid[_hexbytes(hx)] = int(cid)
             work += 1
             if work > _MAX_CID_ENTRIES:
                 raise PdfError("embedded CMap: too many cidchar entries")
     for sec in _CIDRANGE_RE.findall(data):
         for lo_hx, hi_hx, start in _CIDRANGE_TRIPLE.findall(sec):
-            lo = int.from_bytes(_hexbytes(lo_hx), "big")
-            hi = int.from_bytes(_hexbytes(hi_hx), "big")
+            lo_b, hi_b = _hexbytes(lo_hx), _hexbytes(hi_hx)
+            if len(lo_b) != len(hi_b):
+                raise PdfError("embedded CMap: cidrange width mismatch")
+            w = len(lo_b)
+            lo = int.from_bytes(lo_b, "big")
+            hi = int.from_bytes(hi_b, "big")
             work += max(0, hi - lo + 1)
             if hi < lo or work > _MAX_CID_ENTRIES:
                 raise PdfError("embedded CMap: cidrange bounds invalid")
             base = int(start)
             for off in range(hi - lo + 1):
-                code2cid[lo + off] = base + off
+                code2cid[(lo + off).to_bytes(w, "big")] = base + off
     if not code2cid:
         raise PdfError("embedded CMap with no cidchar/cidrange mappings")
-    return code2cid, width
+    return code2cid, ranges
 
 
 class _CidDecoder:
@@ -1198,6 +1206,47 @@ class _CidDecoder:
             )
         get = self.cmap.get
         return "".join(get(c, "�") for c in codes)
+
+
+class _VarWidthCidDecoder:
+    """Show-string decoder for an embedded CMap with a MIXED-width
+    codespace (PDF 32000-1 §9.7.6.2-3): at each position the next code is
+    the codespace range whose PER-BYTE bounds contain the next
+    range-width bytes — checked shortest range first, so a 1-byte ASCII
+    range wins over a 2-byte CJK range sharing no lead bytes, exactly the
+    RKSJ/EUC code-splitting discipline.  A byte starting no range
+    consumes one byte as notdef (the spec's undefined-code handling,
+    collapsed to this kernel's U+FFFD convention)."""
+
+    __slots__ = ("cmap", "by_first")
+
+    def __init__(self, cmap: dict[bytes, str],
+                 ranges: list[tuple[bytes, bytes]]) -> None:
+        self.cmap = cmap
+        by_first: list[list[tuple[bytes, bytes]]] = [[] for _ in range(256)]
+        for lo, hi in sorted(ranges, key=lambda r: len(r[0])):
+            for b0 in range(lo[0], hi[0] + 1):
+                by_first[b0].append((lo, hi))
+        self.by_first = by_first
+
+    def __call__(self, b: bytes) -> str:
+        out = []
+        get = self.cmap.get
+        by_first = self.by_first
+        i, n = 0, len(b)
+        while i < n:
+            for lo, hi in by_first[b[i]]:
+                w = len(lo)
+                j = i + w
+                if j <= n and all(
+                        lo[k] <= b[i + k] <= hi[k] for k in range(1, w)):
+                    out.append(get(b[i:j], "�"))
+                    i = j
+                    break
+            else:
+                out.append("�")
+                i += 1
+        return "".join(out)
 
 
 #: Predefined CMaps whose 2-byte code IS the UCS-2 code point of the shown
@@ -1414,16 +1463,27 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
             elif isinstance(enc, Stream):
                 # embedded CMap stream: code -> CID here, CID -> unicode
                 # from the descendant font program
-                code2cid, width = _parse_cid_cmap(doc.stream_data(enc))
+                code2cid, ranges = _parse_cid_cmap(doc.stream_data(enc))
                 cid2uni = _descendant_cid2uni(doc, fd, fname)
-                cmap = {
+                cmap_b = {
                     code: cid2uni[cid]
                     for code, cid in code2cid.items() if cid in cid2uni
                 }
-                if not cmap:
+                if not cmap_b:
                     raise PdfError(
                         f"Type0 font {fname}: embedded CMap maps no CID "
                         f"the descendant font can name")
+                if {len(lo) for lo, _ in ranges} == {2}:
+                    # uniform 2-byte codespace: keep the struct.unpack
+                    # fast path (the corpus hot path)
+                    cmap = {int.from_bytes(k, "big"): v
+                            for k, v in cmap_b.items()}
+                    width = 2
+                else:
+                    # mixed-width codespace: split show strings by
+                    # per-byte range matching
+                    out[str(fname)] = _VarWidthCidDecoder(cmap_b, ranges)
+                    continue
             elif enc in ("Identity-H", "Identity-V"):
                 cmap, width = _descendant_cid2uni(doc, fd, fname), 2
             else:

@@ -204,6 +204,54 @@ def _encoding_cid_cmap(assign: dict[str, int]) -> bytes:
     return b"".join(parts)
 
 
+def _mixed_code_assignment(assign: dict[str, int]) -> dict[str, bytes]:
+    """char -> code BYTES for the mixed-width embedded-CMap route: ASCII
+    chars get 1-byte codes from 0x20 up (codespace <20> <7E>), everything
+    else 2-byte codes with lead from 0x80 (codespace <8020> <FEFE> —
+    per-byte bounds, so trail bytes stay in [0x20, 0xFE]).  Codes differ
+    from CIDs (1-byte codes are offset 0x20 past the small CID integers;
+    2-byte codes start at 0x8020), so text only round-trips if the parser
+    both SPLITS the variable-width string correctly and applies the
+    mapping."""
+    ascii_chars = sorted(c for c in assign if ord(c) < 0x80)
+    wide_chars = sorted(c for c in assign if ord(c) >= 0x80)
+    if len(ascii_chars) > 0x7E - 0x20 + 1:
+        raise ValueError("too many 1-byte chars for the <20><7E> codespace")
+    codes = {c: bytes([0x20 + i]) for i, c in enumerate(ascii_chars)}
+    for i, c in enumerate(wide_chars):
+        codes[c] = bytes([0x80 + i // 0xDF, 0x20 + i % 0xDF])
+    return codes
+
+
+def _encoding_mixed_cmap(assign: dict[str, int],
+                         codes: dict[str, bytes]) -> bytes:
+    """Emit a MIXED-width /Encoding CMap STREAM: a 1-byte and a 2-byte
+    codespace range, cidchar entries whose hex token length IS the code
+    width.  Written independently of the kernel's per-byte range splitter
+    (kernels/pdf.py _VarWidthCidDecoder), so a splitting bug on either
+    side garbles text loudly instead of cancelling."""
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> def\n/CMapName /SynthMixed def\n"
+        b"/CMapType 1 def\n"
+        b"2 begincodespacerange\n<20> <7E>\n<8020> <FEFE>\n"
+        b"endcodespacerange\n"
+    ]
+    narrow = [(codes[c], assign[c]) for c in sorted(codes) if len(codes[c]) == 1]
+    wide = [(codes[c], assign[c]) for c in sorted(codes) if len(codes[c]) == 2]
+    for entries in (narrow, wide):
+        if not entries:
+            continue
+        parts.append(b"%d begincidchar\n" % len(entries))
+        for code, cid in entries:
+            parts.append(b"<" + code.hex().encode() + b"> %d\n" % cid)
+        parts.append(b"endcidchar\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend\n")
+    return b"".join(parts)
+
+
 def make_table_spec(rng: random.Random) -> dict:
     """Draw one grid-table spec shared by BOTH serializers (PDF text grid
     and HTML <table>), so the two renderings of the same logical table can
@@ -588,6 +636,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     no /ToUnicode; CID -> unicode comes from the embedded TrueType
     program as in 'cid-fontfile'.  Codes differ from CIDs, so text only
     round-trips if the parser applies the CMap.  No rng draws.
+    ``font='cid-mixed'``: like 'cid-cmap' but the embedded CMap declares a
+    MIXED-width codespace — 1-byte codes <20><7E> for ASCII, 2-byte codes
+    <8020><FEFE> for everything else (_mixed_code_assignment) — so text
+    only round-trips if the parser splits variable-width show strings by
+    per-byte codespace-range matching.  No rng draws.
     ``font='cid-rksj' / 'cid-gbk' / 'cid-b5' / 'cid-uhc' / 'cid-utf16'``:
     a Type0 font naming a PREDEFINED national-encoding / UTF-16 CMap
     (_CODEC_FONT_ROUTES); show strings are hex strings of the encoding's
@@ -707,7 +760,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
 
         def encode_string(s: str, _codec: str = codec) -> bytes:
             return b"<" + s.encode(_codec).hex().encode() + b">"
-    elif font in ("cid", "cid-fontfile", "cid-cmap"):
+    elif font in ("cid", "cid-fontfile", "cid-cmap", "cid-mixed"):
         assign = _cid_assignment(page_lines)
         desc_id = next_id
         next_id += 1
@@ -748,10 +801,14 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 {ord(ch): cid for ch, cid in assign.items()})
             ttf_len1 = len(ttf)
             ttf_z = stream_enc(aux_id, zlib.compress(ttf, 6))
-            if font == "cid-cmap":
+            if font in ("cid-cmap", "cid-mixed"):
                 encmap_id = next_id
                 next_id += 1
-                encmap = _encoding_cid_cmap(assign)
+                if font == "cid-mixed":
+                    mixed_codes = _mixed_code_assignment(assign)
+                    encmap = _encoding_mixed_cmap(assign, mixed_codes)
+                else:
+                    encmap = _encoding_cid_cmap(assign)
                 encmap_z = stream_enc(encmap_id, zlib.compress(encmap, 6))
                 objs[encmap_id] = (
                     b"<< /Type /CMap /CMapName /SynthEmbedded "
@@ -798,6 +855,10 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 return b"<" + "".join(
                     "%04x" % (assign[c] + CID_CMAP_CODE_OFFSET) for c in s
                 ).encode() + b">"
+        elif font == "cid-mixed":
+            def encode_string(s: str) -> bytes:
+                return b"<" + b"".join(
+                    mixed_codes[c] for c in s).hex().encode() + b">"
         else:
             def encode_string(s: str) -> bytes:
                 return b"<" + "".join(

@@ -114,6 +114,10 @@ AUDITS = [
      "note": "round 5: map-only predefined national-encoding CMap gate "
              "(90ms-RKSJ/GBK-EUC/ETen-B5/KSCms-UHC/Uni*-UTF16 twins vs the "
              "certified UCS2 route); single final-agg exchange"}),
+    ("q_pdf_mixed_cmap", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only mixed-width embedded-CMap gate (per-byte "
+             "codespace-range show-string split vs the certified UCS2 "
+             "route); single final-agg exchange"}),
     ("q_ccitt", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 5: map-only CCITT G4/G3-1D twin gate (Flate-gray vs CCITT pixel identity); single final-agg exchange"}),
     ("q_table_merge", {"arrow_python": True,

@@ -110,6 +110,22 @@ def cjk_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def mixed_cmap_total_pages(n_docs: int = 80) -> int:
+    """Planned page total of the q_pdf_mixed_cmap fixture set."""
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _MIXED_CHARSETS,
+    )
+
+    total = 0
+    for doc_id in range(n_docs):
+        charset = _MIXED_CHARSETS[doc_id % len(_MIXED_CHARSETS)]
+        rng = random.Random(f"mixedcmap-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font="cid-mixed", charset=charset,
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def ccitt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_ccitt fixture set (page plan is
     image-coding-invariant — same rng draw sequence either way)."""
@@ -197,6 +213,7 @@ if __name__ == "__main__":
     print(f"q_pdf_ucs2 total_pages: {ucs2_total_pages()}")
     print(f"q_pdf_embedded_cmap total_pages: {embcmap_total_pages()}")
     print(f"q_pdf_cjk total_pages: {cjk_total_pages()}")
+    print(f"q_pdf_mixed_cmap total_pages: {mixed_cmap_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")

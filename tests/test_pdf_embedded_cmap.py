@@ -40,29 +40,34 @@ class TestParseCidCmap:
             b"2 begincidchar\n<2101> 1\n<2105> 5\nendcidchar\n"
             b"1 begincidrange\n<2110> <2112> 16\nendcidrange\n"
         )
-        m, w = _parse_cid_cmap(data)
-        assert w == 2
-        assert m == {0x2101: 1, 0x2105: 5, 0x2110: 16, 0x2111: 17,
-                     0x2112: 18}
+        m, ranges = _parse_cid_cmap(data)
+        assert ranges == [(b"\x00\x00", b"\xff\xff")]
+        assert m == {b"\x21\x01": 1, b"\x21\x05": 5, b"\x21\x10": 16,
+                     b"\x21\x11": 17, b"\x21\x12": 18}
 
     def test_one_byte_codespace(self):
         data = (
             b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
             b"1 begincidchar\n<41> 7\nendcidchar\n"
         )
-        m, w = _parse_cid_cmap(data)
-        assert w == 1 and m == {0x41: 7}
+        m, ranges = _parse_cid_cmap(data)
+        assert ranges == [(b"\x00", b"\xff")] and m == {b"\x41": 7}
 
     def test_usecmap_error_routes(self):
         with pytest.raises(PdfError):
             _parse_cid_cmap(b"/UniGB-UCS2-H usecmap\n"
                             b"1 begincidchar\n<41> 7\nendcidchar\n")
 
-    def test_mixed_widths_error_route(self):
-        with pytest.raises(PdfError):
-            _parse_cid_cmap(
-                b"2 begincodespacerange\n<00> <80>\n<8140> <fffe>\n"
-                b"endcodespacerange\n1 begincidchar\n<41> 7\nendcidchar\n")
+    def test_mixed_widths_parse(self):
+        # round-5: mixed-width codespaces are IN dialect — both ranges and
+        # both code widths come back, keyed by raw code bytes
+        m, ranges = _parse_cid_cmap(
+            b"2 begincodespacerange\n<00> <80>\n<8140> <fffe>\n"
+            b"endcodespacerange\n1 begincidchar\n<41> 7\nendcidchar\n"
+            b"1 begincidrange\n<8140> <8142> 20\nendcidrange\n")
+        assert ranges == [(b"\x00", b"\x80"), (b"\x81\x40", b"\xff\xfe")]
+        assert m == {b"\x41": 7, b"\x81\x40": 20, b"\x81\x41": 21,
+                     b"\x81\x42": 22}
 
     def test_empty_cmap_error_routes(self):
         with pytest.raises(PdfError):
@@ -85,9 +90,9 @@ class TestParseCidCmap:
 class TestGeneratorCmap:
     def test_emitter_round_trips_through_parser(self):
         assign = _cid_assignment([[["abcdefg hij"], ["zz qq"]][0]])
-        m, w = _parse_cid_cmap(_encoding_cid_cmap(assign))
-        assert w == 2
-        assert m == {cid + CID_CMAP_CODE_OFFSET: cid
+        m, ranges = _parse_cid_cmap(_encoding_cid_cmap(assign))
+        assert ranges == [(b"\x00\x00", b"\xff\xff")]
+        assert m == {(cid + CID_CMAP_CODE_OFFSET).to_bytes(2, "big"): cid
                      for cid in assign.values()}
 
     def test_emitter_uses_both_sections(self):
@@ -128,12 +133,16 @@ class TestEmbeddedCmapPdfs:
         assert [p["text"] for p in r["pages"]] == \
                ["\n".join(ls) for ls in lines]
 
-    def test_predefined_non_ucs2_cmap_still_error_routes(self):
-        # an out-of-dialect predefined CMap name must stay an honest
-        # PdfError, not silently decode wrong
+    def test_predefined_out_of_dialect_cmap_still_error_routes(self):
+        # an out-of-dialect predefined CMap name (Add-RKSJ-H needs Adobe's
+        # bundled CID tables proper; same byte length as Identity-H so the
+        # xref offsets stay valid and the PdfError comes from the FONT
+        # dispatch, not a corrupted file) must stay an honest PdfError,
+        # not silently decode wrong
         pdf, _ = make_pdf(random.Random("x"), 2, n_pages=1,
                           with_images=False, font="cid-fontfile")
         bad = pdf.replace(b"/Encoding /Identity-H",
-                          b"/Encoding /90ms-RKSJ-H")
+                          b"/Encoding /Add-RKSJ-H")
+        assert len(bad) == len(pdf) and bad != pdf
         with pytest.raises(PdfError):
             parse_pdf(bad)
