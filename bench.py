@@ -141,11 +141,12 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v7: round-5 corpus — adds CCITT bilevel image payloads and the
-    # embedded-CMap / FontFile2 / UCS2 composite-font shares — the version
-    # tag invalidates any stale staged corpus (text goldens are unchanged;
+    # v8: round-5 corpus — v7 (CCITT bilevel payloads, embedded-CMap /
+    # FontFile2 / UCS2 composite-font shares) plus the predefined-UTF16
+    # and mixed-width embedded-CMap font shares — the version tag
+    # invalidates any stale staged corpus (text goldens are unchanged;
     # payload bytes are not)
-    corpus_path = f"/tmp/bench_corpus_v7_{N_EXTRACT}"
+    corpus_path = f"/tmp/bench_corpus_v8_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -1232,8 +1232,11 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
         # Half the PDFs use the PDF 1.5 dialect (xref/object streams, mixed
         # filters); orthogonally half use a composite-font dialect — mostly
         # Type0/Identity-H + ToUnicode CMap (hex CID strings), with small
-        # shares of the three no-ToUnicode variants (embedded /Encoding
-        # CMap stream, FontFile2-only, predefined UCS2 CMap) carved out of
+        # shares of the no-ToUnicode variants (embedded /Encoding CMap
+        # stream, FontFile2-only, predefined UCS2 CMap, and — round 5 —
+        # predefined UTF-16 CMap and mixed-width embedded CMap; the
+        # national-encoding routes need CJK charsets and live in the
+        # q_pdf_cjk gate) carved out of
         # the composite slots so every text-mapping route the kernel
         # supports runs in the real extraction pipeline, not just in
         # gates.  One in 16 is additionally ENCRYPTED (standard security
@@ -1243,7 +1246,8 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
         # (not rng draws), so document TEXT is unchanged vs the
         # classic-only corpus.
         if doc_id % 4 >= 2:
-            font = {3: "cid-cmap", 11: "cid-ucs2", 19: "cid-fontfile"}.get(
+            font = {3: "cid-cmap", 7: "cid-utf16", 11: "cid-ucs2",
+                    19: "cid-fontfile", 27: "cid-mixed"}.get(
                 doc_id % 32, "cid")
         else:
             font = "simple"
