@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_dedup_verify_capped",  # per-bucket-capped pair verify (round 5)
     "q_pdf_cjk",           # predefined national-encoding CMap gate (round 5)
     "q_pdf_mixed_cmap",    # mixed-width embedded-CMap split gate (round 5)
+    "q_pdf_usecmap",       # /UseCMap base-composition gate (round 5)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.

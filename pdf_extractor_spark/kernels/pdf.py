@@ -24,15 +24,16 @@ KSCms-UHC, Uni*-UTF16 families — decoded via the stdlib codec whose
 byte sequences those CMaps consume), embedded
 /Encoding CMap streams (cidchar/cidrange code->CID composed with the
 descendant font program; uniform AND mixed-width codespaces, with
-per-byte range code splitting), or an Identity-encoded FontFile2
-cmap, and
+per-byte range code splitting; /UseCMap composition over an
+Identity/UCS2/national-encoding/UTF-16 base), or an Identity-encoded
+FontFile2 cmap, and
 standard-security-handler encryption with an empty user password
 (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4 /AESV2, and AES-256 V5
 R5/R6 /AESV3 incl. the ISO 32000-2 Algorithm 2.B iterated KDF —
 kernels/crypto.py holds the from-scratch RC4/AES primitives).
 Remaining out-of-dialect constructs (a Type0 font naming a predefined
 CMap outside the families above with no embedded mapping to fall
-back on, /UseCMap composition,
+back on, a /UseCMap base outside those same families,
 non-Standard security handlers, real passwords) raise ``PdfError`` so
 the pipeline can route the row to the error side-channel instead of
 crashing the task (SURVEY.md OP-32 mapping).
@@ -1128,10 +1129,17 @@ _CIDRANGE_TRIPLE = re.compile(
 _MAX_CID_ENTRIES = 1 << 17  # bomb guard: 2 bytes of code space = 65536
 
 
-def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list]:
+#: ``/BaseName usecmap`` (bare) or ``/BaseName /CMap findresource usecmap``
+#: (the CMap-spec PostScript form) — both name the base CMap composed under
+#: the embedded one.
+_USECMAP_RE = re.compile(
+    rb"/([^\s/<>()\[\]{}%]+)\s*(?:/CMap\s+findresource\s+)?usecmap")
+
+
+def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list, str | None]:
     """Embedded CMap stream (/Encoding, PDF 32000-1 §9.7.5.3) ->
     (code -> CID map keyed by the code's raw BYTES, codespace ranges
-    [(lo_bytes, hi_bytes), ...]).
+    [(lo_bytes, hi_bytes), ...], usecmap base name or None).
 
     Parses cidchar pairs (<code> cid) and cidrange triples
     (<lo> <hi> startCID) — the code->CID half of the CMap grammar the
@@ -1139,11 +1147,16 @@ def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list]:
     code's width is the byte length of its hex token, so MIXED-width
     codespaces (e.g. 1-byte ASCII plus 2-byte CJK ranges, the shape of
     every real RKSJ/EUC-style CMap) parse fine; the caller splits show
-    strings against the returned ranges (_VarWidthCidDecoder).  /UseCMap
-    composition stays out of dialect and error-routes (the reference
-    reads those via MuPDF's CMap machinery, text_extractor.py:51-53)."""
+    strings against the returned ranges (_VarWidthCidDecoder).  A
+    ``usecmap`` reference is returned by NAME for the caller to compose
+    (codes the embedded sections don't map fall through to the base,
+    PDF 32000-1 §9.7.5.3); an unparseable usecmap form error-routes."""
+    base = None
     if b"usecmap" in data:
-        raise PdfError("embedded CMap: /UseCMap composition unsupported")
+        m = _USECMAP_RE.search(data)
+        if not m:
+            raise PdfError("embedded CMap: unparseable usecmap reference")
+        base = m.group(1).decode("latin-1")
     ranges: list[tuple[bytes, bytes]] = []
     m = _CSRANGE_RE.search(data)
     if m:
@@ -1153,7 +1166,7 @@ def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list]:
             if not lo or len(lo) != len(hi) or hi < lo:
                 raise PdfError("embedded CMap: bad codespace range")
             ranges.append((lo, hi))
-    if not ranges:
+    if not ranges and base is None:
         ranges = [(b"\x00\x00", b"\xff\xff")]  # Identity-style default
     code2cid: dict[bytes, int] = {}
     work = 0  # cumulative mapping entries, counting overwrites (CPU bound)
@@ -1174,12 +1187,12 @@ def _parse_cid_cmap(data: bytes) -> tuple[dict[bytes, int], list]:
             work += max(0, hi - lo + 1)
             if hi < lo or work > _MAX_CID_ENTRIES:
                 raise PdfError("embedded CMap: cidrange bounds invalid")
-            base = int(start)
+            start_cid = int(start)
             for off in range(hi - lo + 1):
-                code2cid[(lo + off).to_bytes(w, "big")] = base + off
-    if not code2cid:
+                code2cid[(lo + off).to_bytes(w, "big")] = start_cid + off
+    if not code2cid and base is None:
         raise PdfError("embedded CMap with no cidchar/cidrange mappings")
-    return code2cid, ranges
+    return code2cid, ranges, base
 
 
 class _CidDecoder:
@@ -1214,15 +1227,26 @@ class _VarWidthCidDecoder:
     the codespace range whose PER-BYTE bounds contain the next
     range-width bytes — checked shortest range first, so a 1-byte ASCII
     range wins over a 2-byte CJK range sharing no lead bytes, exactly the
-    RKSJ/EUC code-splitting discipline.  A byte starting no range
-    consumes one byte as notdef (the spec's undefined-code handling,
-    collapsed to this kernel's U+FFFD convention)."""
+    RKSJ/EUC code-splitting discipline.  (Every supported codespace
+    family is lead-byte-disjoint across widths, so sort order only breaks
+    genuine ties; per-byte verification rejects false prefixes like a
+    GB18030 4-byte code's 0x30-0x39 second byte against the 2-byte
+    range.)  A byte starting no range consumes one byte as notdef (the
+    spec's undefined-code handling, collapsed to this kernel's U+FFFD
+    convention).
 
-    __slots__ = ("cmap", "by_first")
+    ``base``: optional /UseCMap fallback — a callable taking the matched
+    code BYTES and returning its text or None; codes the embedded map
+    doesn't name fall through to it (PDF 32000-1 §9.7.5.3 lookup order:
+    embedded sections first, then the referenced CMap)."""
+
+    __slots__ = ("cmap", "by_first", "base")
 
     def __init__(self, cmap: dict[bytes, str],
-                 ranges: list[tuple[bytes, bytes]]) -> None:
+                 ranges: list[tuple[bytes, bytes]],
+                 base=None) -> None:
         self.cmap = cmap
+        self.base = base
         by_first: list[list[tuple[bytes, bytes]]] = [[] for _ in range(256)]
         for lo, hi in sorted(ranges, key=lambda r: len(r[0])):
             for b0 in range(lo[0], hi[0] + 1):
@@ -1232,6 +1256,7 @@ class _VarWidthCidDecoder:
     def __call__(self, b: bytes) -> str:
         out = []
         get = self.cmap.get
+        base = self.base
         by_first = self.by_first
         i, n = 0, len(b)
         while i < n:
@@ -1240,7 +1265,11 @@ class _VarWidthCidDecoder:
                 j = i + w
                 if j <= n and all(
                         lo[k] <= b[i + k] <= hi[k] for k in range(1, w)):
-                    out.append(get(b[i:j], "�"))
+                    code = b[i:j]
+                    u = get(code)
+                    if u is None and base is not None:
+                        u = base(code)
+                    out.append(u if u is not None else "�")
                     i = j
                     break
             else:
@@ -1311,6 +1340,66 @@ class _CodecCMapDecoder:
 
     def __call__(self, b: bytes) -> str:
         return b.decode(self.codec, "replace")
+
+
+#: Published codespace ranges of the predefined CMap families this kernel
+#: can compose under /UseCMap, keyed by codec (transcribed from the Adobe
+#: CMap resources: RKSJ mixes 1-byte ASCII/half-width-katakana with two
+#: 2-byte kanji lead windows; the EUC/B5/UHC families are 1-byte ASCII +
+#: one 2-byte window; GB18030 adds the 4-byte plane; UTF-16 splits the BMP
+#: around the 4-byte surrogate window).  Every family is lead-byte-disjoint
+#: across widths, which _VarWidthCidDecoder's shortest-first probe relies
+#: on; the per-byte bounds reject false prefixes (e.g. a GB18030 4-byte
+#: code's 0x30-0x39 second byte never matches the 2-byte trail window).
+_PREDEF_CODESPACES: dict[str, list[tuple[bytes, bytes]]] = {
+    "cp932": [(b"\x00", b"\x80"), (b"\xa0", b"\xdf"),
+              (b"\x81\x40", b"\x9f\xfc"), (b"\xe0\x40", b"\xfc\xfc")],
+    "gbk": [(b"\x00", b"\x80"), (b"\x81\x40", b"\xfe\xfe")],
+    "gb18030": [(b"\x00", b"\x80"), (b"\x81\x40", b"\xfe\xfe"),
+                (b"\x81\x30\x81\x30", b"\xfe\x39\xfe\x39")],
+    "cp950": [(b"\x00", b"\x80"), (b"\xa1\x40", b"\xfe\xfe")],
+    "cp949": [(b"\x00", b"\x80"), (b"\x81\x41", b"\xfe\xfe")],
+    "utf-16-be": [(b"\x00\x00", b"\xd7\xff"), (b"\xe0\x00", b"\xff\xff"),
+                  (b"\xd8\x00\xdc\x00", b"\xdb\xff\xdf\xff")],
+}
+_IDENTITY_CODESPACE: list[tuple[bytes, bytes]] = [(b"\x00\x00", b"\xff\xff")]
+
+
+def _usecmap_base(name: str, cid2uni: dict[int, str] | None):
+    """/UseCMap base CMap -> (code-bytes -> text-or-None, its codespace
+    ranges).  Supported bases: Identity-H/V (code == CID, text from the
+    descendant font program), the predefined Uni*-UCS2 family, and the
+    predefined national-encoding / UTF-16 families; anything else is out
+    of dialect and error-routes."""
+    if name in ("Identity-H", "Identity-V"):
+        if cid2uni is None:
+            raise PdfError(
+                "usecmap Identity base needs a descendant font mapping")
+
+        def identity_fn(cb: bytes, _m=cid2uni):
+            return _m.get(int.from_bytes(cb, "big")) if len(cb) == 2 else None
+
+        return identity_fn, list(_IDENTITY_CODESPACE)
+    if name in _UCS2_CMAPS:
+
+        def ucs2_fn(cb: bytes):
+            if len(cb) != 2:
+                return None
+            c = (cb[0] << 8) | cb[1]
+            return "�" if 0xD800 <= c <= 0xDFFF else chr(c)
+
+        return ucs2_fn, list(_IDENTITY_CODESPACE)
+    if name in _CODEC_CMAPS:
+        codec = _CODEC_CMAPS[name]
+
+        def codec_fn(cb: bytes, _c=codec):
+            try:
+                return cb.decode(_c)
+            except UnicodeDecodeError:
+                return None
+
+        return codec_fn, list(_PREDEF_CODESPACES[codec])
+    raise PdfError(f"usecmap base {name!r} out of dialect")
 
 
 def _parse_truetype_cmap(data: bytes) -> dict[int, str]:
@@ -1462,13 +1551,22 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
                 continue
             elif isinstance(enc, Stream):
                 # embedded CMap stream: code -> CID here, CID -> unicode
-                # from the descendant font program
-                code2cid, ranges = _parse_cid_cmap(doc.stream_data(enc))
-                cid2uni = _descendant_cid2uni(doc, fd, fname)
+                # from the descendant font program; an optional usecmap
+                # base catches codes the embedded sections don't map
+                code2cid, ranges, base_name = _parse_cid_cmap(
+                    doc.stream_data(enc))
+                cid2uni = None
+                if code2cid or base_name in ("Identity-H", "Identity-V"):
+                    cid2uni = _descendant_cid2uni(doc, fd, fname)
                 cmap_b = {
                     code: cid2uni[cid]
                     for code, cid in code2cid.items() if cid in cid2uni
-                }
+                } if code2cid else {}
+                if base_name is not None:
+                    base_fn, base_ranges = _usecmap_base(base_name, cid2uni)
+                    out[str(fname)] = _VarWidthCidDecoder(
+                        cmap_b, ranges + base_ranges, base=base_fn)
+                    continue
                 if not cmap_b:
                     raise PdfError(
                         f"Type0 font {fname}: embedded CMap maps no CID "

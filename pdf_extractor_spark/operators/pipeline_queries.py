@@ -760,6 +760,81 @@ def q_pdf_mixed_cmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_USECMAP_DOCS = 80
+_USECMAP_CHARSETS = ("latin", "ja", "zh-hans", "ko")
+_USECMAP_TOTAL_PAGES = 199  # generator spec: sum of planned page counts
+                            # (derive_kind_expectations.usecmap_total_pages)
+
+
+@query(
+    "q_pdf_usecmap",
+    # Structural (non-circular) oracle, same discipline as the other font
+    # gates: the SAME document serialized through the certified
+    # predefined-UCS2 route and through an embedded CMap that COMPOSES
+    # /UniGB-UCS2-H via usecmap (every second distinct char overridden
+    # into the private <E000><E0FF> codespace, code->CID->FontFile2
+    # unicode; the rest base UCS-2 codes) must parse to byte-identical
+    # text and page structure; the page total comes from the generator's
+    # page plan.  Equality requires BOTH composition halves: the embedded
+    # overrides AND the base fallthrough.
+    f"""
+    SELECT CAST({_N_USECMAP_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_USECMAP_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_USECMAP_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_usecmap(spark: SparkSession, sf: str) -> DataFrame:
+    """/UseCMap composition gate (the final CMap-family error-route from
+    the round-4 kernel scope note; the reference reads composed CMaps via
+    MuPDF's CMap machinery, text_extractor.py:51-53): serialize 80
+    documents through the predefined-UCS2 route AND the usecmap route
+    over both xref dialects and four charsets, parse both with the kernel
+    (kernels/pdf.py _usecmap_base + _VarWidthCidDecoder base fallback),
+    and require text/metadata/page equality per document plus the
+    generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                charset = _USECMAP_CHARSETS[doc_id % len(_USECMAP_CHARSETS)]
+                dialect = "modern" if doc_id % 2 else "classic"
+                ru = parse_pdf(make_pdf(
+                    _random.Random(f"usecmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid-ucs2", charset=charset)[0])
+                rc = parse_pdf(make_pdf(
+                    _random.Random(f"usecmap-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid-usecmap",
+                    charset=charset)[0])
+                same = (
+                    [p["text"] for p in ru["pages"]]
+                    == [p["text"] for p in rc["pages"]]
+                    and ru["metadata"] == rc["metadata"]
+                    and ru["n_pages"] == rc["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rc["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_USECMAP_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
 _N_MERGE_DOCS = 50
 _MERGE_TOTAL = 75  # generator spec: expected merged-table total
                    # (scripts/derive_kind_expectations.table_merge_totals)

@@ -252,6 +252,47 @@ def _encoding_mixed_cmap(assign: dict[str, int],
     return b"".join(parts)
 
 
+def _usecmap_code_assignment(assign: dict[str, int]) -> dict[str, bytes]:
+    """char -> override code BYTES for the /UseCMap embedded-CMap route:
+    every SECOND distinct char (sorted) gets a 2-byte code in the private
+    <E000><E0FF> override codespace; the rest serialize through the BASE
+    CMap (UniGB-UCS2-H: code == UCS-2 code point).  Text round-trips only
+    if the parser applies the embedded mappings AND falls through to the
+    base for everything else."""
+    chars = sorted(assign)
+    overrides = chars[1::2]
+    if len(overrides) > 0x100:
+        raise ValueError("too many override chars for <E000><E0FF>")
+    if any(0xE000 <= ord(c) <= 0xE0FF for c in chars):
+        raise ValueError("document text collides with the override range")
+    return {c: bytes([0xE0, i]) for i, c in enumerate(overrides)}
+
+
+def _encoding_usecmap_cmap(assign: dict[str, int],
+                           codes: dict[str, bytes]) -> bytes:
+    """Emit an /Encoding CMap STREAM that COMPOSES a predefined base via
+    ``usecmap``: own codespace <E000><E0FF>, cidchar overrides, and a
+    /UniGB-UCS2-H base reference (PDF 32000-1 §9.7.5.3).  Written
+    independently of the kernel's composition (kernels/pdf.py
+    _usecmap_base + _VarWidthCidDecoder base fallback)."""
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/UniGB-UCS2-H usecmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> def\n/CMapName /SynthUse def\n"
+        b"/CMapType 1 def\n"
+        b"1 begincodespacerange\n<E000> <E0FF>\nendcodespacerange\n"
+    ]
+    entries = sorted((codes[c], assign[c]) for c in codes)
+    parts.append(b"%d begincidchar\n" % len(entries))
+    for code, cid in entries:
+        parts.append(b"<" + code.hex().encode() + b"> %d\n" % cid)
+    parts.append(b"endcidchar\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend\n")
+    return b"".join(parts)
+
+
 def make_table_spec(rng: random.Random) -> dict:
     """Draw one grid-table spec shared by BOTH serializers (PDF text grid
     and HTML <table>), so the two renderings of the same logical table can
@@ -641,6 +682,12 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     <8020><FEFE> for everything else (_mixed_code_assignment) — so text
     only round-trips if the parser splits variable-width show strings by
     per-byte codespace-range matching.  No rng draws.
+    ``font='cid-usecmap'``: like 'cid-cmap' but the embedded CMap COMPOSES
+    a predefined base via ``/UniGB-UCS2-H usecmap``: every second distinct
+    char is overridden into the private <E000><E0FF> codespace
+    (code -> CID -> FontFile2 unicode), the rest serialize as base UCS-2
+    codes — text round-trips only if the parser applies the overrides AND
+    falls through to the base (_usecmap_code_assignment).  No rng draws.
     ``font='cid-rksj' / 'cid-gbk' / 'cid-b5' / 'cid-uhc' / 'cid-utf16'``:
     a Type0 font naming a PREDEFINED national-encoding / UTF-16 CMap
     (_CODEC_FONT_ROUTES); show strings are hex strings of the encoding's
@@ -760,7 +807,8 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
 
         def encode_string(s: str, _codec: str = codec) -> bytes:
             return b"<" + s.encode(_codec).hex().encode() + b">"
-    elif font in ("cid", "cid-fontfile", "cid-cmap", "cid-mixed"):
+    elif font in ("cid", "cid-fontfile", "cid-cmap", "cid-mixed",
+              "cid-usecmap"):
         assign = _cid_assignment(page_lines)
         desc_id = next_id
         next_id += 1
@@ -801,12 +849,15 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 {ord(ch): cid for ch, cid in assign.items()})
             ttf_len1 = len(ttf)
             ttf_z = stream_enc(aux_id, zlib.compress(ttf, 6))
-            if font in ("cid-cmap", "cid-mixed"):
+            if font in ("cid-cmap", "cid-mixed", "cid-usecmap"):
                 encmap_id = next_id
                 next_id += 1
                 if font == "cid-mixed":
                     mixed_codes = _mixed_code_assignment(assign)
                     encmap = _encoding_mixed_cmap(assign, mixed_codes)
+                elif font == "cid-usecmap":
+                    use_codes = _usecmap_code_assignment(assign)
+                    encmap = _encoding_usecmap_cmap(assign, use_codes)
                 else:
                     encmap = _encoding_cid_cmap(assign)
                 encmap_z = stream_enc(encmap_id, zlib.compress(encmap, 6))
@@ -859,6 +910,11 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
             def encode_string(s: str) -> bytes:
                 return b"<" + b"".join(
                     mixed_codes[c] for c in s).hex().encode() + b">"
+        elif font == "cid-usecmap":
+            def encode_string(s: str) -> bytes:
+                return b"<" + b"".join(
+                    use_codes.get(c) or c.encode("utf-16-be") for c in s
+                ).hex().encode() + b">"
         else:
             def encode_string(s: str) -> bytes:
                 return b"<" + "".join(

@@ -126,6 +126,23 @@ def mixed_cmap_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def usecmap_total_pages(n_docs: int = 80) -> int:
+    """Planned page total of the q_pdf_usecmap fixture set."""
+    from pdf_extractor_spark.operators.pipeline_queries import (
+        _USECMAP_CHARSETS,
+    )
+
+    total = 0
+    for doc_id in range(n_docs):
+        charset = _USECMAP_CHARSETS[doc_id % len(_USECMAP_CHARSETS)]
+        rng = random.Random(f"usecmap-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font="cid-usecmap",
+                            charset=charset,
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def ccitt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_ccitt fixture set (page plan is
     image-coding-invariant — same rng draw sequence either way)."""
@@ -214,6 +231,7 @@ if __name__ == "__main__":
     print(f"q_pdf_embedded_cmap total_pages: {embcmap_total_pages()}")
     print(f"q_pdf_cjk total_pages: {cjk_total_pages()}")
     print(f"q_pdf_mixed_cmap total_pages: {mixed_cmap_total_pages()}")
+    print(f"q_pdf_usecmap total_pages: {usecmap_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")

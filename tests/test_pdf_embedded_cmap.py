@@ -40,7 +40,7 @@ class TestParseCidCmap:
             b"2 begincidchar\n<2101> 1\n<2105> 5\nendcidchar\n"
             b"1 begincidrange\n<2110> <2112> 16\nendcidrange\n"
         )
-        m, ranges = _parse_cid_cmap(data)
+        m, ranges, base = _parse_cid_cmap(data)
         assert ranges == [(b"\x00\x00", b"\xff\xff")]
         assert m == {b"\x21\x01": 1, b"\x21\x05": 5, b"\x21\x10": 16,
                      b"\x21\x11": 17, b"\x21\x12": 18}
@@ -50,18 +50,30 @@ class TestParseCidCmap:
             b"1 begincodespacerange\n<00> <ff>\nendcodespacerange\n"
             b"1 begincidchar\n<41> 7\nendcidchar\n"
         )
-        m, ranges = _parse_cid_cmap(data)
+        m, ranges, base = _parse_cid_cmap(data)
         assert ranges == [(b"\x00", b"\xff")] and m == {b"\x41": 7}
 
-    def test_usecmap_error_routes(self):
-        with pytest.raises(PdfError):
-            _parse_cid_cmap(b"/UniGB-UCS2-H usecmap\n"
-                            b"1 begincidchar\n<41> 7\nendcidchar\n")
+    def test_usecmap_base_returned(self):
+        # round-5: usecmap is IN dialect — the base CMap name comes back
+        # for _page_fonts to compose (both the bare and the PostScript
+        # findresource reference forms)
+        m, ranges, base = _parse_cid_cmap(
+            b"/UniGB-UCS2-H usecmap\n"
+            b"1 begincidchar\n<41> 7\nendcidchar\n")
+        assert base == "UniGB-UCS2-H" and m == {b"\x41": 7}
+        m2, _, base2 = _parse_cid_cmap(
+            b"/90ms-RKSJ-H /CMap findresource usecmap\n"
+            b"1 begincidchar\n<e001> 3\nendcidchar\n")
+        assert base2 == "90ms-RKSJ-H" and m2 == {b"\xe0\x01": 3}
+
+    def test_usecmap_pure_alias_allows_empty_sections(self):
+        m, ranges, base = _parse_cid_cmap(b"/UniJIS-UTF16-H usecmap\n")
+        assert base == "UniJIS-UTF16-H" and m == {} and ranges == []
 
     def test_mixed_widths_parse(self):
         # round-5: mixed-width codespaces are IN dialect — both ranges and
         # both code widths come back, keyed by raw code bytes
-        m, ranges = _parse_cid_cmap(
+        m, ranges, base = _parse_cid_cmap(
             b"2 begincodespacerange\n<00> <80>\n<8140> <fffe>\n"
             b"endcodespacerange\n1 begincidchar\n<41> 7\nendcidchar\n"
             b"1 begincidrange\n<8140> <8142> 20\nendcidrange\n")
@@ -90,7 +102,7 @@ class TestParseCidCmap:
 class TestGeneratorCmap:
     def test_emitter_round_trips_through_parser(self):
         assign = _cid_assignment([[["abcdefg hij"], ["zz qq"]][0]])
-        m, ranges = _parse_cid_cmap(_encoding_cid_cmap(assign))
+        m, ranges, base = _parse_cid_cmap(_encoding_cid_cmap(assign))
         assert ranges == [(b"\x00\x00", b"\xff\xff")]
         assert m == {(cid + CID_CMAP_CODE_OFFSET).to_bytes(2, "big"): cid
                      for cid in assign.values()}

@@ -89,7 +89,7 @@ class TestMixedAssignment:
     def test_emitter_round_trips_through_parser(self):
         assign = _cid_assignment([["Mix of words", "和文 text"]])
         codes = _mixed_code_assignment(assign)
-        m, ranges = _parse_cid_cmap(_encoding_mixed_cmap(assign, codes))
+        m, ranges, base = _parse_cid_cmap(_encoding_mixed_cmap(assign, codes))
         assert ranges == [(b"\x20", b"\x7e"), (b"\x80\x20", b"\xfe\xfe")]
         assert m == {codes[c]: assign[c] for c in assign}
 
