@@ -191,3 +191,54 @@ def test_filter_decoders_total_or_pdf_error(data):
         _png_unpredict(data, columns=5)
     except PdfError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@example(b"/UniGB-UCS2-H usecmap")
+@example(b"1 begincodespacerange\n<20> <7e>\nendcodespacerange\n"
+         b"1 begincidchar\n<41> 7\nendcidchar\n")
+@given(st.binary(max_size=1024))
+def test_cid_cmap_parser_total_or_pdf_error(data):
+    """The embedded-CMap parser must return its 3-tuple or raise PdfError
+    on arbitrary bytes — never leak another exception type (round-5: the
+    mixed-width/usecmap rework keeps the kernel totality contract)."""
+    from pdf_extractor_spark.kernels.pdf import PdfError, _parse_cid_cmap
+
+    try:
+        code2cid, ranges, base = _parse_cid_cmap(data)
+    except PdfError:
+        return
+    assert isinstance(code2cid, dict) and isinstance(ranges, list)
+    assert base is None or isinstance(base, str)
+
+
+@settings(max_examples=150, deadline=None)
+@example(bytes.fromhex("81"))  # truncated cp932 lead byte
+@example(bytes.fromhex("93fa8160b1"))  # 2-byte, 2-byte, 1-byte katakana
+@example(bytes.fromhex("d83dde00"))  # UTF-16 surrogate pair
+@given(st.binary(max_size=512))
+def test_cmap_decoders_total(data):
+    """Every show-string decoder added in round 5 is a total function of
+    arbitrary bytes: codec CMaps (errors='replace'), variable-width
+    embedded CMaps (per-byte split, notdef fallback), and /UseCMap
+    composition (base fallthrough returning None -> notdef)."""
+    from pdf_extractor_spark.kernels.pdf import (
+        _CODEC_CMAPS,
+        _CodecCMapDecoder,
+        _usecmap_base,
+        _VarWidthCidDecoder,
+    )
+
+    for name in ("90ms-RKSJ-H", "GBK-EUC-H", "ETen-B5-H", "KSCms-UHC-H",
+                 "UniJIS-UTF16-H"):
+        assert isinstance(_CodecCMapDecoder(_CODEC_CMAPS[name])(data), str)
+    mixed = _VarWidthCidDecoder(
+        {b"\x41": "A", b"\x81\x40": "x"},
+        [(b"\x20", b"\x7e"), (b"\x80\x20", b"\xfe\xfe")])
+    assert isinstance(mixed(data), str)
+    for base_name in ("UniGB-UCS2-H", "90ms-RKSJ-H", "UniJIS-UTF16-H"):
+        fn, ranges = _usecmap_base(base_name, None)
+        dec = _VarWidthCidDecoder(
+            {b"\xe0\x01": "A"}, [(b"\xe0\x00", b"\xe0\xff")] + ranges,
+            base=fn)
+        assert isinstance(dec(data), str)
