@@ -15,7 +15,10 @@ field widths, /Index subsections, and PNG predictors), object streams
 (/Type /ObjStm compressed objects), the filter set FlateDecode,
 ASCIIHexDecode, ASCII85Decode, RunLengthDecode, LZWDecode (TIFF-variant
 with /EarlyChange; chainable, with /DecodeParms predictor support),
-Latin-1-ish simple fonts AND
+simple fonts (Latin-1 default; /WinAnsiEncoding and /MacRomanEncoding
+base tables, /Differences arrays resolved through a transcribed Adobe
+Glyph List subset + the AGL uniXXXX algorithm, and 1-byte /ToUnicode
+CMaps) AND
 Type0/CID composite fonts with ToUnicode CMap text mapping (bfchar /
 bfrange / array-destination bfrange, 1- or 2-byte codespaces), Type0
 fonts WITHOUT /ToUnicode via predefined Uni*-UCS2 CMaps, predefined
@@ -1402,6 +1405,157 @@ def _usecmap_base(name: str, cid2uni: dict[int, str] | None):
     raise PdfError(f"usecmap base {name!r} out of dialect")
 
 
+# --------------------------------------------------------------------------
+# Simple-font encodings (PDF 32000-1 §9.6.6 + Appendix D): /WinAnsiEncoding,
+# /MacRomanEncoding, /Differences arrays with Adobe-Glyph-List names, and
+# 1-byte /ToUnicode CMaps.  The reference gets all of this from MuPDF's
+# builtin encoding tables (text_extractor.py:51-53).
+# --------------------------------------------------------------------------
+
+#: Hand-transcribed Adobe Glyph List subset: the Appendix D glyph names of
+#: the ASCII, Latin-1 and WinAnsi-special ranges (the names real
+#: /Differences arrays overwhelmingly use).  Everything else resolves via
+#: the AGL algorithm's uniXXXX / uXXXXXX forms in _glyph_to_unicode, or
+#: falls to notdef.
+_AGL_SUBSET: dict[str, int] = {}
+for _i, _n in enumerate(
+        "space exclam quotedbl numbersign dollar percent ampersand "
+        "quotesingle parenleft parenright asterisk plus comma hyphen "
+        "period slash zero one two three four five six seven eight nine "
+        "colon semicolon less equal greater question at".split()):
+    _AGL_SUBSET[_n] = 0x20 + _i
+for _c in range(0x41, 0x5B):
+    _AGL_SUBSET[chr(_c)] = _c
+for _i, _n in enumerate(
+        "bracketleft backslash bracketright asciicircum underscore "
+        "grave".split()):
+    _AGL_SUBSET[_n] = 0x5B + _i
+for _c in range(0x61, 0x7B):
+    _AGL_SUBSET[chr(_c)] = _c
+for _i, _n in enumerate("braceleft bar braceright asciitilde".split()):
+    _AGL_SUBSET[_n] = 0x7B + _i
+for _i, _n in enumerate(
+        "exclamdown cent sterling currency yen brokenbar section dieresis "
+        "copyright ordfeminine guillemotleft logicalnot - registered "
+        "macron degree plusminus twosuperior threesuperior acute mu "
+        "paragraph periodcentered cedilla onesuperior ordmasculine "
+        "guillemotright onequarter onehalf threequarters questiondown "
+        "Agrave Aacute Acircumflex Atilde Adieresis Aring AE Ccedilla "
+        "Egrave Eacute Ecircumflex Edieresis Igrave Iacute Icircumflex "
+        "Idieresis Eth Ntilde Ograve Oacute Ocircumflex Otilde Odieresis "
+        "multiply Oslash Ugrave Uacute Ucircumflex Udieresis Yacute Thorn "
+        "germandbls agrave aacute acircumflex atilde adieresis aring ae "
+        "ccedilla egrave eacute ecircumflex edieresis igrave iacute "
+        "icircumflex idieresis eth ntilde ograve oacute ocircumflex "
+        "otilde odieresis divide oslash ugrave uacute ucircumflex "
+        "udieresis yacute thorn ydieresis".split()):
+    if _n != "-":  # 0xAD soft hyphen has no stable single AGL name here
+        _AGL_SUBSET[_n] = 0xA1 + _i
+_AGL_SUBSET.update({
+    "Euro": 0x20AC, "quotesinglbase": 0x201A, "florin": 0x0192,
+    "quotedblbase": 0x201E, "ellipsis": 0x2026, "dagger": 0x2020,
+    "daggerdbl": 0x2021, "circumflex": 0x02C6, "perthousand": 0x2030,
+    "Scaron": 0x0160, "guilsinglleft": 0x2039, "OE": 0x0152,
+    "Zcaron": 0x017D, "quoteleft": 0x2018, "quoteright": 0x2019,
+    "quotedblleft": 0x201C, "quotedblright": 0x201D, "bullet": 0x2022,
+    "endash": 0x2013, "emdash": 0x2014, "tilde": 0x02DC,
+    "trademark": 0x2122, "scaron": 0x0161, "guilsinglright": 0x203A,
+    "oe": 0x0153, "zcaron": 0x017E, "Ydieresis": 0x0178,
+})
+del _i, _n, _c
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Adobe Glyph List name -> unicode string, or None when the name is
+    outside the transcribed subset and the AGL uniXXXX / uXXXX[XX]
+    algorithmic forms (the caller maps None to notdef — a lone odd glyph
+    name must not error-route a whole document)."""
+    if name in _AGL_SUBSET:
+        return chr(_AGL_SUBSET[name])
+    if name.startswith("uni") and len(name) >= 7 and (len(name) - 3) % 4 == 0:
+        try:
+            units = bytes.fromhex(name[3:])
+        except ValueError:
+            return None
+        try:
+            return units.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+        except ValueError:
+            return None
+        if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    return None
+
+
+#: Named base encodings with a CPython codec whose table IS the PDF one
+#: (Appendix D: WinAnsiEncoding == Windows cp1252, MacRomanEncoding ==
+#: Mac OS Roman).  StandardEncoding (Adobe's own PostScript layout) has no
+#: stdlib codec and error-routes — honest refusal beats silently-Latin-1.
+_BASE_ENCODINGS = {"WinAnsiEncoding": "cp1252",
+                   "MacRomanEncoding": "mac_roman"}
+
+
+def _simple_encoding_table(doc: "Document", enc, fname) -> list[str]:
+    """Simple-font /Encoding (name or dictionary) -> 256-entry unicode
+    table.  A dictionary's /BaseEncoding seeds the table (absent ->
+    Latin-1, this kernel's historical simple-font default) and
+    /Differences overrides runs of codes with glyph names (PDF 32000-1
+    §9.6.6.1: an integer resets the code counter, each name assigns the
+    next code).  Unknown glyph names map to notdef."""
+    base = enc
+    diffs = None
+    if isinstance(enc, dict):
+        base = doc.resolve(enc.get(Name("BaseEncoding")))
+        diffs = doc.resolve(enc.get(Name("Differences")))
+    if base is None:
+        table = [chr(i) for i in range(256)]
+    elif base in _BASE_ENCODINGS:
+        codec = _BASE_ENCODINGS[base]
+        table = [bytes([i]).decode(codec, "replace") for i in range(256)]
+    else:
+        raise PdfError(
+            f"simple font {fname}: unsupported base encoding {base!r} "
+            f"(WinAnsiEncoding, MacRomanEncoding and /Differences are "
+            f"handled; StandardEncoding and symbol-font builtins are out "
+            f"of dialect)")
+    if diffs is not None:
+        if not isinstance(diffs, list):
+            raise PdfError(f"simple font {fname}: /Differences not an array")
+        code = 0
+        for item in diffs:
+            if isinstance(item, (int, float)):
+                code = int(item)
+            elif isinstance(item, Name):
+                if not 0 <= code <= 255:
+                    raise PdfError(
+                        f"simple font {fname}: /Differences code {code} "
+                        f"out of range")
+                table[code] = _glyph_to_unicode(str(item)) or "�"
+                code += 1
+            else:
+                raise PdfError(
+                    f"simple font {fname}: bad /Differences entry {item!r}")
+    return table
+
+
+class _TableDecoder:
+    """Show-string decoder for a simple font with an explicit /Encoding:
+    one table lookup per byte."""
+
+    __slots__ = ("table",)
+
+    def __init__(self, table: list[str]) -> None:
+        self.table = table
+
+    def __call__(self, b: bytes) -> str:
+        t = self.table
+        return "".join(t[x] for x in b)
+
+
 def _parse_truetype_cmap(data: bytes) -> dict[int, str]:
     """Embedded TrueType font program (sfnt) -> {glyph id: unicode char}.
 
@@ -1511,8 +1665,11 @@ def _descendant_cid2uni(doc: "Document", fd: dict, fname) -> dict[int, str]:
 
 
 def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
-    """/Resources /Font -> {font name: decoder}.  Simple fonts use the
-    default Latin-1 decode (None marker); Type0 fonts decode through their
+    """/Resources /Font -> {font name: decoder}.  Simple fonts decode
+    through their 1-byte /ToUnicode CMap when present, else an explicit
+    /Encoding (WinAnsi / MacRoman base tables, /Differences glyph-name
+    overrides via the AGL subset + uniXXXX algorithm), else the default
+    Latin-1 decode (None marker); Type0 fonts decode through their
     ToUnicode CMap, falling back — when /ToUnicode is absent — on the
     /Encoding: direct UCS-2 decode for the predefined Uni*-UCS2 CMap
     family, code->CID->unicode for an embedded CMap STREAM (round-4
@@ -1593,7 +1750,20 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
                     f"are out of dialect)")
             out[str(fname)] = _CidDecoder(cmap, width)
         else:
-            out[str(fname)] = None
+            # simple font: a /ToUnicode CMap wins (subset fonts with
+            # scrambled codes), then an explicit /Encoding (WinAnsi /
+            # MacRoman / Differences, Appendix D), else the historical
+            # Latin-1 default (None marker -> _decode_pdf_string)
+            tu = doc.resolve(fd.get(Name("ToUnicode")))
+            enc = doc.resolve(fd.get(Name("Encoding")))
+            if isinstance(tu, Stream):
+                cmap, width = _parse_tounicode(doc.stream_data(tu))
+                out[str(fname)] = _CidDecoder(cmap, width)
+            elif enc is not None:
+                out[str(fname)] = _TableDecoder(
+                    _simple_encoding_table(doc, enc, fname))
+            else:
+                out[str(fname)] = None
     return out
 
 

@@ -835,6 +835,91 @@ def q_pdf_usecmap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_SENC_DOCS = 80
+#: per-doc (font route, charset): WinAnsi/MacRoman base tables over the
+#: cp1252-special pool, /Differences with classic-AGL + uniXXXX names over
+#: latin AND ja text, and a scrambled 1-byte /ToUnicode subset font
+_SENC_ROUTES = (
+    ("simple-winansi", "win"), ("simple-macroman", "win"),
+    ("simple-diff", "latin"), ("simple-diff", "ja"), ("simple-tu", "win"),
+)
+_SENC_TOTAL_PAGES = 189  # generator spec: sum of planned page counts
+                         # (derive_kind_expectations.simple_enc_total_pages)
+
+
+@query(
+    "q_pdf_simple_enc",
+    # Structural (non-circular) oracle, same discipline as the composite-
+    # font gates: the SAME document serialized through the certified
+    # predefined-UCS2 route and through a simple font with an explicit
+    # encoding (/WinAnsiEncoding, /MacRomanEncoding, /Differences with AGL
+    # names, or a scrambled 1-byte /ToUnicode) must parse to
+    # byte-identical text and page structure.  The 'win' charset puts
+    # cp1252-specific characters (0x80-0x9F bytes) in every document, so
+    # the base-table routes cannot pass under the old Latin-1 default;
+    # /Differences codes disagree with WinAnsi positions and /ToUnicode
+    # codes with every standard table, so both remapping routes require
+    # the mapping to actually apply.  Table positions themselves are
+    # pinned against hand-transcribed vectors in
+    # tests/test_pdf_simple_enc.py.
+    f"""
+    SELECT CAST({_N_SENC_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_SENC_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_SENC_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_simple_enc(spark: SparkSession, sf: str) -> DataFrame:
+    """Simple-font encoding gate (PDF 32000-1 §9.6.6 + Appendix D — the
+    encodings real non-CJK PDFs carry on almost every page; the reference
+    reads them via MuPDF's builtin tables, text_extractor.py:51-53):
+    serialize 80 documents through the predefined-UCS2 route AND the
+    per-doc simple-font encoding route over both xref dialects, parse both
+    with the kernel (kernels/pdf.py _simple_encoding_table /
+    _glyph_to_unicode / the simple-font ToUnicode branch), and require
+    text/metadata/page equality per document plus the generator-spec page
+    total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, npages = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                font, charset = _SENC_ROUTES[doc_id % len(_SENC_ROUTES)]
+                dialect = "modern" if doc_id % 2 else "classic"
+                ru = parse_pdf(make_pdf(
+                    _random.Random(f"senc-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font="cid-ucs2", charset=charset)[0])
+                rc = parse_pdf(make_pdf(
+                    _random.Random(f"senc-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font=font, charset=charset)[0])
+                same = (
+                    [p["text"] for p in ru["pages"]]
+                    == [p["text"] for p in rc["pages"]]
+                    and ru["metadata"] == rc["metadata"]
+                    and ru["n_pages"] == rc["n_pages"]
+                )
+                match.append(1 if same else 0)
+                npages.append(rc["n_pages"])
+            yield pd.DataFrame({"m": match, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_SENC_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
 _N_MERGE_DOCS = 50
 _MERGE_TOTAL = 75  # generator spec: expected merged-table total
                    # (scripts/derive_kind_expectations.table_merge_totals)

@@ -59,6 +59,14 @@ _CJK_POOLS: dict[str, tuple[str, ...]] = {
         "데이터 테이블 질의 열 행 배치 조인 필터 스캔 페이지 텍스트 이미지 "
         "토큰 바이트 색인 해시 병합 정렬 그룹 값 본문 제목 각주 여백".split()
     ) + _CJK_ASCII_MIX,
+    # 'win': cp1252-specific punctuation/currency (every word encodable in
+    # BOTH cp1252 and mac_roman — asserted by tests/test_pdf_simple_enc.py)
+    # so the WinAnsi/MacRoman base-table routes are non-vacuous: bytes
+    # 0x80-0x9F mean DIFFERENT things in Latin-1 vs WinAnsi.
+    "win": (
+        "€42", "™mark", "œuvre", "–dash", "—wide", "“quoted”", "‘single’",
+        "…more", "•point", "café", "über", "señor", "naïve",
+    ) + _CJK_ASCII_MIX,
 }
 
 HEAVY_HOST = "heavy.example.com"
@@ -247,6 +255,61 @@ def _encoding_mixed_cmap(assign: dict[str, int],
         for code, cid in entries:
             parts.append(b"<" + code.hex().encode() + b"> %d\n" % cid)
         parts.append(b"endcidchar\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+                 b"end\nend\n")
+    return b"".join(parts)
+
+
+#: Generator-side classic AGL names for the /Differences route — a
+#: SEPARATE transcription from the kernel's _AGL_SUBSET (a mistake on
+#: either side breaks the twin gate loudly instead of cancelling).
+_GEN_GLYPH_NAMES = {
+    "é": "eacute", "ï": "idieresis", "ü": "udieresis", "ñ": "ntilde",
+    "€": "Euro", "™": "trademark", "œ": "oe", "–": "endash",
+    "—": "emdash", "“": "quotedblleft", "”": "quotedblright",
+    "‘": "quoteleft", "’": "quoteright", "…": "ellipsis", "•": "bullet",
+}
+
+
+def _diff_encoding_assignment(page_lines: list[list[str]]) -> dict[str, int]:
+    """char -> override CODE for the /Differences route: every non-ASCII
+    distinct char gets a code from 0x80 up (ASCII stays at its WinAnsi
+    position).  Codes deliberately disagree with the chars' WinAnsi/
+    Latin-1 positions, so text only round-trips if the parser applies the
+    /Differences array."""
+    chars = sorted({c for lines in page_lines for line in lines
+                    for c in line if ord(c) >= 0x80})
+    if len(chars) > 0x80:
+        raise ValueError("too many non-ASCII chars for one-byte codes")
+    return {c: 0x80 + i for i, c in enumerate(chars)}
+
+
+def _diff_glyph_name(c: str, i: int) -> bytes:
+    """Glyph name for /Differences: classic AGL names where the generator
+    knows one (odd slots, pinning the kernel's transcribed subset), else
+    the AGL uniXXXX algorithmic form."""
+    if i % 2 and c in _GEN_GLYPH_NAMES:
+        return _GEN_GLYPH_NAMES[c].encode()
+    return b"uni" + c.encode("utf-16-be").hex().upper().encode()
+
+
+def _simple_tounicode_cmap(codes: dict[str, int]) -> bytes:
+    """Emit a 1-byte-codespace ToUnicode CMap for a SIMPLE font: bfchar
+    lines <code> <utf16-hex>.  Codes are sequential from 0x21 and disagree
+    with every standard encoding, so text round-trips only through the
+    CMap."""
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement "
+        b"0 >> def\n/CMapName /SynthSimpleUCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+    ]
+    entries = sorted(codes.items(), key=lambda kv: kv[1])
+    parts.append(b"%d beginbfchar\n" % len(entries))
+    for ch, code in entries:
+        parts.append(b"<%02x> <" % code
+                     + ch.encode("utf-16-be").hex().encode() + b">\n")
+    parts.append(b"endbfchar\n")
     parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
                  b"end\nend\n")
     return b"".join(parts)
@@ -696,9 +759,22 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     encoding covers ('ja'/'zh-hans'/'zh-hant'/'ko'; 'cid-utf16' and
     'cid-ucs2' cover all of them).
 
+    ``font='simple-winansi' / 'simple-macroman'``: a simple Type1 font
+    with a NAMED base encoding; show strings are cp1252 / mac_roman bytes
+    (hex-serialized).  Pair with ``charset='win'`` so 0x80-0x9F bytes
+    actually occur.  No rng draws.
+    ``font='simple-diff'``: /Encoding dictionary with /BaseEncoding
+    /WinAnsiEncoding and a /Differences array remapping every non-ASCII
+    char to a code from 0x80 (classic AGL names on odd slots, uniXXXX
+    forms elsewhere — _diff_encoding_assignment/_diff_glyph_name).
+    ``font='simple-tu'``: a simple font whose only text mapping is a
+    1-byte /ToUnicode CMap with scrambled sequential codes
+    (_simple_tounicode_cmap).  No rng draws.
+
     ``charset``: 'latin' (default — byte-identical rng draws to the
-    pre-charset generator) or a _CJK_POOLS key; swaps the sentence word
-    pool so CJK font routes have text their encodings can express.
+    pre-charset generator) or a _CJK_POOLS key ('ja'/'zh-hans'/'zh-hant'/
+    'ko'/'win'); swaps the sentence word pool so CJK / cp1252-special
+    font routes have text their encodings can express.
 
     ``image_coding``: None (default mix: RGB Flate / JPEG dialects / a
     CCITT bilevel share keyed off seed64), or force EVERY image in the
@@ -919,6 +995,62 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
             def encode_string(s: str) -> bytes:
                 return b"<" + "".join(
                     "%04x" % assign[c] for c in s).encode() + b">"
+    elif font in ("simple-winansi", "simple-macroman"):
+        # simple font with a NAMED base encoding: bytes 0x80-0x9F mean
+        # different things than Latin-1, so the parser must route the
+        # /Encoding name to the right table (kernels/pdf.py
+        # _simple_encoding_table).  No rng draws.
+        enc_name, codec = (
+            ("WinAnsiEncoding", "cp1252") if font == "simple-winansi"
+            else ("MacRomanEncoding", "mac_roman"))
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /" + enc_name.encode() + b" >>")
+
+        def encode_string(s: str, _c: str = codec) -> bytes:
+            return b"<" + s.encode(_c).hex().encode() + b">"
+    elif font == "simple-diff":
+        # simple font with /Differences: every non-ASCII char remapped to
+        # a code from 0x80 disagreeing with its WinAnsi position, named by
+        # classic AGL names (odd slots) or uniXXXX forms.  No rng draws.
+        diff_codes = _diff_encoding_assignment(page_lines)
+        by_code = sorted(diff_codes.items(), key=lambda kv: kv[1])
+        names = b" ".join(
+            b"/" + _diff_glyph_name(c, i) for i, (c, _) in enumerate(by_code))
+        diffs = (b"/Differences [ 128 " + names + b" ]") if by_code else b""
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding " + diffs
+            + b" >> >>")
+
+        def encode_string(s: str) -> bytes:
+            # non-ASCII always remapped; ASCII sits at its WinAnsi == ASCII
+            # position
+            return b"<" + bytes(
+                diff_codes[c] if c in diff_codes else ord(c)
+                for c in s).hex().encode() + b">"
+    elif font == "simple-tu":
+        # simple font whose ONLY text mapping is a 1-byte /ToUnicode CMap;
+        # codes are sequential from 0x21 (a scrambled subset font).
+        chars = sorted({c for lines in page_lines for line in lines
+                        for c in line})
+        if 0x21 + len(chars) > 0x100:
+            raise ValueError("too many distinct chars for one-byte codes")
+        tu_codes = {c: 0x21 + i for i, c in enumerate(chars)}
+        tu_id = next_id
+        next_id += 1
+        tu = _simple_tounicode_cmap(tu_codes)
+        tu_z = stream_enc(tu_id, zlib.compress(tu, 6))
+        objs[tu_id] = (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(tu_z)
+            + tu_z + b"\nendstream")
+        stream_ids.add(tu_id)
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode %d 0 R >>" % tu_id)
+
+        def encode_string(s: str) -> bytes:
+            return b"<" + bytes(tu_codes[c] for c in s).hex().encode() + b">"
     else:
         objs[font_id] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         encode_string = _simple_string
@@ -1306,7 +1438,10 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
                     19: "cid-fontfile", 27: "cid-mixed"}.get(
                 doc_id % 32, "cid")
         else:
-            font = "simple"
+            # round 5: three slots of the simple half carry explicit
+            # encodings (all latin-charset-safe, zero rng draws)
+            font = {5: "simple-winansi", 13: "simple-diff",
+                    21: "simple-tu"}.get(doc_id % 32, "simple")
         payload, page_lines = make_pdf(
             rng, doc_id,
             dialect="modern" if doc_id % 2 else "classic",

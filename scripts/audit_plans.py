@@ -122,6 +122,11 @@ AUDITS = [
      "note": "round 5: map-only /UseCMap composition gate (embedded "
              "overrides + predefined-base fallthrough vs the certified "
              "UCS2 route); single final-agg exchange"}),
+    ("q_pdf_simple_enc", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only simple-font encoding gate (WinAnsi/"
+             "MacRoman base tables, /Differences AGL names, 1-byte "
+             "ToUnicode vs the certified UCS2 route); single final-agg "
+             "exchange"}),
     ("q_ccitt", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 5: map-only CCITT G4/G3-1D twin gate (Flate-gray vs CCITT pixel identity); single final-agg exchange"}),
     ("q_table_merge", {"arrow_python": True,

@@ -143,6 +143,20 @@ def usecmap_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def simple_enc_total_pages(n_docs: int = 80) -> int:
+    """Planned page total of the q_pdf_simple_enc fixture set."""
+    from pdf_extractor_spark.operators.pipeline_queries import _SENC_ROUTES
+
+    total = 0
+    for doc_id in range(n_docs):
+        font, charset = _SENC_ROUTES[doc_id % len(_SENC_ROUTES)]
+        rng = random.Random(f"senc-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font=font, charset=charset,
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def ccitt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_ccitt fixture set (page plan is
     image-coding-invariant — same rng draw sequence either way)."""
@@ -232,6 +246,7 @@ if __name__ == "__main__":
     print(f"q_pdf_cjk total_pages: {cjk_total_pages()}")
     print(f"q_pdf_mixed_cmap total_pages: {mixed_cmap_total_pages()}")
     print(f"q_pdf_usecmap total_pages: {usecmap_total_pages()}")
+    print(f"q_pdf_simple_enc total_pages: {simple_enc_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")
