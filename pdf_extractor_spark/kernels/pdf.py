@@ -147,6 +147,8 @@ class _Lexer:
             arr = []
             while True:
                 self._skip_ws()
+                if self.pos >= len(self.data):
+                    raise PdfError("unterminated array")
                 if self.data[self.pos] == 0x5D:
                     self.pos += 1
                     return arr
@@ -205,7 +207,14 @@ class _Lexer:
             # truncated trailing '#'/'#x' stays literal (an escape whose
             # digits cross a delimiter was never a valid name anyway)
             if c == 0x23 and i + 2 < n:
-                out += bytes([int(tok[i + 1:i + 3], 16)])
+                try:
+                    out += bytes([int(tok[i + 1:i + 3], 16)])
+                except ValueError:
+                    # '#' not followed by two hex digits is an invalid
+                    # name escape (PDF 32000-1 §7.3.5) — error-route,
+                    # never leak ValueError (round-5 fuzz finding)
+                    raise PdfError(
+                        f"invalid #-escape in name: {tok[i:i + 3]!r}")
                 i += 3
                 continue
             out.append(c)
@@ -228,10 +237,12 @@ class _Lexer:
                 elif nxt in (b"(", b")", b"\\"):
                     out += nxt
                     self.pos += 2
-                elif nxt.isdigit():  # octal
+                elif nxt and nxt in b"01234567":  # octal: \d, \dd, \ddd
                     j = self.pos + 1
                     oct_digits = b""
-                    while j < len(d) and len(oct_digits) < 3 and d[j:j + 1].isdigit():
+                    while (j < len(d) and len(oct_digits) < 3
+                           and d[j:j + 1] in
+                           (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7")):
                         oct_digits += d[j:j + 1]
                         j += 1
                     out.append(int(oct_digits, 8) & 0xFF)
@@ -265,7 +276,13 @@ class _Lexer:
         if len(hx) % 2:
             hx += b"0"
         self.pos = end + 1
-        return bytes.fromhex(hx.decode("ascii"))
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            # non-hex garbage inside <...> is an error per PDF 32000-1
+            # §7.3.4.3 — error-route, never leak ValueError /
+            # UnicodeDecodeError (round-5 fuzz finding)
+            raise PdfError(f"invalid hex string near offset {end}")
 
     def _parse_dict_or_stream(self):
         self.pos += 2  # '<<'
@@ -521,6 +538,7 @@ class Document:
         self.xref_free: set[int] = set()
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._resolving: set[int] = set()  # cycle guard (fuzz finding)
         self._objstm_loaded: set[int] = set()
         self._crypt = None  # (method, file_key) once /Encrypt is validated
         self._parse_xref_chain()
@@ -560,6 +578,12 @@ class Document:
             if lx.peek_keyword(b"trailer"):
                 lx.expect(b"trailer")
                 trailer = lx.parse_object()
+                if not isinstance(trailer, dict):
+                    # corrupted trailer (e.g. a bare number) — error-route,
+                    # never leak AttributeError (round-5 fuzz finding)
+                    raise PdfError(
+                        f"trailer is {type(trailer).__name__}, expected "
+                        f"dictionary")
                 if not self.trailer:
                     self.trailer = trailer
                 prev = trailer.get(Name("Prev"))
@@ -830,6 +854,18 @@ class Document:
     def get_object(self, num: int):
         if num in self._cache:
             return self._cache[num]
+        if num in self._resolving:
+            # a reference cycle through uncached objects (e.g. two streams
+            # whose /Length entries point at each other) would otherwise
+            # recurse without bound — error-route (round-5 fuzz finding)
+            raise PdfError(f"circular reference through object {num}")
+        self._resolving.add(num)
+        try:
+            return self._get_object_uncached(num)
+        finally:
+            self._resolving.discard(num)
+
+    def _get_object_uncached(self, num: int):
         off = self.xref.get(num)
         if off is None:
             comp = self.xref_compressed.get(num)
@@ -1513,7 +1549,7 @@ def _simple_encoding_table(doc: "Document", enc, fname) -> list[str]:
         diffs = doc.resolve(enc.get(Name("Differences")))
     if base is None:
         table = [chr(i) for i in range(256)]
-    elif base in _BASE_ENCODINGS:
+    elif isinstance(base, str) and base in _BASE_ENCODINGS:
         codec = _BASE_ENCODINGS[base]
         table = [bytes([i]).decode(codec, "replace") for i in range(256)]
     else:
@@ -1692,6 +1728,13 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
         if doc.resolve(fd.get(Name("Subtype"))) == "Type0":
             tu = doc.resolve(fd.get(Name("ToUnicode")))
             enc = doc.resolve(fd.get(Name("Encoding")))
+            if not isinstance(enc, (str, Stream, type(None))):
+                # a corrupted /Encoding resolving to a dict/array must
+                # error-route, not TypeError on the set membership probes
+                # below (round-5 fuzz finding)
+                raise PdfError(
+                    f"Type0 font {fname}: /Encoding is "
+                    f"{type(enc).__name__}, expected name or stream")
             if isinstance(tu, Stream):
                 cmap, width = _parse_tounicode(doc.stream_data(tu))
             elif enc in _UCS2_CMAPS:
@@ -1874,6 +1917,11 @@ def _extract_runs(content: bytes,
                         if isinstance(el, bytes)
                     ]
                     emit("".join(parts))
+        except (ValueError, TypeError) as e:
+            # a corrupted content stream can put a name/string where a
+            # number belongs — error-route, never leak ValueError
+            # (round-5 fuzz finding)
+            raise PdfError(f"malformed operand for {op}: {e}")
         finally:
             operands = []
     return runs
@@ -2115,11 +2163,23 @@ def _page_links(doc: Document, page: dict) -> list[str]:
     return out
 
 
-def _walk_pages(doc: Document, node: dict, out: list[dict]) -> None:
+def _walk_pages(doc: Document, node: dict, out: list[dict],
+                _seen: set | None = None) -> None:
+    if not isinstance(node, dict):
+        # a /Kids entry resolving to a non-dict (corrupted xref) —
+        # error-route, never leak AttributeError (round-5 fuzz finding)
+        raise PdfError(
+            f"page-tree node is {type(node).__name__}, expected dictionary")
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:
+        # a /Kids cycle would recurse without bound (round-5 fuzz finding)
+        raise PdfError("page tree contains a cycle")
+    _seen.add(id(node))
     t = doc.resolve(node.get(Name("Type")))
     if t == "Pages":
         for kid in doc.resolve(node.get(Name("Kids"))) or []:
-            _walk_pages(doc, doc.resolve(kid), out)
+            _walk_pages(doc, doc.resolve(kid), out, _seen)
     elif t == "Page":
         out.append(node)
 
@@ -2141,6 +2201,10 @@ def parse_pdf(data: bytes) -> dict:
     _walk_pages(doc, pages_node, page_dicts)
 
     info = doc.resolve(doc.trailer.get(Name("Info"))) or {}
+    if not isinstance(info, dict):
+        # /Info resolving to a non-dict (corrupted xref) — error-route
+        # (round-5 fuzz finding)
+        raise PdfError(f"/Info is {type(info).__name__}, expected dictionary")
     metadata = {
         str(k): (_decode_pdf_string(v) if isinstance(v, bytes) else str(v))
         for k, v in info.items()
