@@ -1488,6 +1488,12 @@ for _i, _n in enumerate(
     if _n != "-":  # 0xAD soft hyphen has no stable single AGL name here
         _AGL_SUBSET[_n] = 0xA1 + _i
 _AGL_SUBSET.update({
+    # StandardEncoding's extra glyph repertoire (ligatures, spacing
+    # accents, slashed letters)
+    "fraction": 0x2044, "fi": 0xFB01, "fl": 0xFB02, "breve": 0x02D8,
+    "dotaccent": 0x02D9, "ring": 0x02DA, "hungarumlaut": 0x02DD,
+    "ogonek": 0x02DB, "caron": 0x02C7, "dotlessi": 0x0131,
+    "Lslash": 0x0141, "lslash": 0x0142,
     "Euro": 0x20AC, "quotesinglbase": 0x201A, "florin": 0x0192,
     "quotedblbase": 0x201E, "ellipsis": 0x2026, "dagger": 0x2020,
     "daggerdbl": 0x2021, "circumflex": 0x02C6, "perthousand": 0x2030,
@@ -1529,10 +1535,48 @@ def _glyph_to_unicode(name: str) -> str | None:
 
 #: Named base encodings with a CPython codec whose table IS the PDF one
 #: (Appendix D: WinAnsiEncoding == Windows cp1252, MacRomanEncoding ==
-#: Mac OS Roman).  StandardEncoding (Adobe's own PostScript layout) has no
-#: stdlib codec and error-routes — honest refusal beats silently-Latin-1.
+#: Mac OS Roman).
 _BASE_ENCODINGS = {"WinAnsiEncoding": "cp1252",
                    "MacRomanEncoding": "mac_roman"}
+
+#: Adobe StandardEncoding (PDF 32000-1 Appendix D, Adobe's PostScript
+#: layout): no stdlib codec exists, so the table is transcribed here as
+#: {code: AGL glyph name}, ASCII range implied except for the two quote
+#: slots.  Codes Appendix D leaves unassigned resolve to notdef.
+#: Spot positions are hand-pinned in tests/test_pdf_simple_enc.py; the
+#: generator's encoder is a SEPARATE transcription (codepoint-keyed), so
+#: a slip on either side breaks the twin gate loudly.
+_STANDARD_ENCODING_NAMES: dict[int, str] = {
+    0x27: "quoteright", 0x60: "quoteleft",
+    0xA1: "exclamdown", 0xA2: "cent", 0xA3: "sterling", 0xA4: "fraction",
+    0xA5: "yen", 0xA6: "florin", 0xA7: "section", 0xA8: "currency",
+    0xA9: "quotesingle", 0xAA: "quotedblleft", 0xAB: "guillemotleft",
+    0xAC: "guilsinglleft", 0xAD: "guilsinglright", 0xAE: "fi", 0xAF: "fl",
+    0xB1: "endash", 0xB2: "dagger", 0xB3: "daggerdbl",
+    0xB4: "periodcentered", 0xB6: "paragraph", 0xB7: "bullet",
+    0xB8: "quotesinglbase", 0xB9: "quotedblbase", 0xBA: "quotedblright",
+    0xBB: "guillemotright", 0xBC: "ellipsis", 0xBD: "perthousand",
+    0xBF: "questiondown",
+    0xC1: "grave", 0xC2: "acute", 0xC3: "circumflex", 0xC4: "tilde",
+    0xC5: "macron", 0xC6: "breve", 0xC7: "dotaccent", 0xC8: "dieresis",
+    0xCA: "ring", 0xCB: "cedilla", 0xCD: "hungarumlaut", 0xCE: "ogonek",
+    0xCF: "caron", 0xD0: "emdash",
+    0xE1: "AE", 0xE3: "ordfeminine", 0xE8: "Lslash", 0xE9: "Oslash",
+    0xEA: "OE", 0xEB: "ordmasculine",
+    0xF1: "ae", 0xF5: "dotlessi", 0xF8: "lslash", 0xF9: "oslash",
+    0xFA: "oe", 0xFB: "germandbls",
+}
+
+
+def _standard_encoding_table() -> list[str]:
+    table = ["�"] * 256
+    for i in range(0x20, 0x7F):
+        table[i] = chr(i)
+    for code, name in _STANDARD_ENCODING_NAMES.items():
+        u = _glyph_to_unicode(name)
+        assert u is not None, name  # every name is in the AGL subset
+        table[code] = u
+    return table
 
 
 def _simple_encoding_table(doc: "Document", enc, fname) -> list[str]:
@@ -1552,11 +1596,13 @@ def _simple_encoding_table(doc: "Document", enc, fname) -> list[str]:
     elif isinstance(base, str) and base in _BASE_ENCODINGS:
         codec = _BASE_ENCODINGS[base]
         table = [bytes([i]).decode(codec, "replace") for i in range(256)]
+    elif base == "StandardEncoding":
+        table = _standard_encoding_table()
     else:
         raise PdfError(
             f"simple font {fname}: unsupported base encoding {base!r} "
-            f"(WinAnsiEncoding, MacRomanEncoding and /Differences are "
-            f"handled; StandardEncoding and symbol-font builtins are out "
+            f"(WinAnsiEncoding, MacRomanEncoding, StandardEncoding and "
+            f"/Differences are handled; symbol-font builtins are out "
             f"of dialect)")
     if diffs is not None:
         if not isinstance(diffs, list):

@@ -838,10 +838,12 @@ def q_pdf_usecmap(spark: SparkSession, sf: str) -> DataFrame:
 _N_SENC_DOCS = 80
 #: per-doc (font route, charset): WinAnsi/MacRoman base tables over the
 #: cp1252-special pool, /Differences with classic-AGL + uniXXXX names over
-#: latin AND ja text, and a scrambled 1-byte /ToUnicode subset font
+#: latin AND ja text, a scrambled 1-byte /ToUnicode subset font, and
+#: Adobe StandardEncoding over its own ligature/punctuation repertoire
 _SENC_ROUTES = (
     ("simple-winansi", "win"), ("simple-macroman", "win"),
     ("simple-diff", "latin"), ("simple-diff", "ja"), ("simple-tu", "win"),
+    ("simple-standard", "std"),
 )
 _SENC_TOTAL_PAGES = 189  # generator spec: sum of planned page counts
                          # (derive_kind_expectations.simple_enc_total_pages)

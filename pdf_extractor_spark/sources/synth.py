@@ -67,6 +67,15 @@ _CJK_POOLS: dict[str, tuple[str, ...]] = {
         "€42", "™mark", "œuvre", "–dash", "—wide", "“quoted”", "‘single’",
         "…more", "•point", "café", "über", "señor", "naïve",
     ) + _CJK_ASCII_MIX,
+    # 'std': Adobe-StandardEncoding repertoire (ligatures, old-style
+    # punctuation, slashed letters) — every word encodable by
+    # _STD_ENCODE below; no precomposed accents (Standard has none).
+    "std": (
+        "ﬁne", "ﬂow", "œuvre", "æon", "søster", "Łodz",
+        "–dash", "—wide", "“quoted”", "‘single’", "…more", "•point",
+        "§sign", "¶mark", "†note", "‡also", "‰rate", "¿que", "¡si",
+        "aƒunc", "straße", "«guill»", "‹angle›",
+    ) + _CJK_ASCII_MIX,
 }
 
 HEAVY_HOST = "heavy.example.com"
@@ -258,6 +267,37 @@ def _encoding_mixed_cmap(assign: dict[str, int],
     parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
                  b"end\nend\n")
     return b"".join(parts)
+
+
+#: Generator-side Adobe-StandardEncoding encoder: codepoint -> code byte.
+#: A SEPARATE transcription (char-keyed, from the same published Appendix
+#: D table) from the kernel's name-keyed _STANDARD_ENCODING_NAMES — a
+#: slip on either side breaks the q_pdf_simple_enc twin loudly.  ASCII
+#: passes through at its own code EXCEPT ' and ` (Standard puts
+#: quoteright/quoteleft there; quotesingle and grave live at A9/C1).
+_STD_ENCODE = {
+    "’": 0x27, "‘": 0x60, "¡": 0xA1, "¢": 0xA2, "£": 0xA3, "⁄": 0xA4,
+    "¥": 0xA5, "ƒ": 0xA6, "§": 0xA7, "¤": 0xA8, "'": 0xA9, "“": 0xAA,
+    "«": 0xAB, "‹": 0xAC, "›": 0xAD, "ﬁ": 0xAE, "ﬂ": 0xAF, "–": 0xB1,
+    "†": 0xB2, "‡": 0xB3, "·": 0xB4, "¶": 0xB6, "•": 0xB7, "‚": 0xB8,
+    "„": 0xB9, "”": 0xBA, "»": 0xBB, "…": 0xBC, "‰": 0xBD, "¿": 0xBF,
+    "`": 0xC1, "—": 0xD0, "Æ": 0xE1, "ª": 0xE3, "Ł": 0xE8, "Ø": 0xE9,
+    "Œ": 0xEA, "º": 0xEB, "æ": 0xF1, "ı": 0xF5, "ł": 0xF8, "ø": 0xF9,
+    "œ": 0xFA, "ß": 0xFB,
+}
+
+
+def _std_encode_string(s: str) -> bytes:
+    out = bytearray()
+    for c in s:
+        b = _STD_ENCODE.get(c)
+        if b is None:
+            if " " <= c <= "~":
+                b = ord(c)
+            else:
+                raise ValueError(f"not StandardEncoding-expressible: {c!r}")
+        out.append(b)
+    return b"<" + bytes(out).hex().encode() + b">"
 
 
 #: Generator-side classic AGL names for the /Differences route — a
@@ -484,7 +524,9 @@ def table_expected_lines(spec: dict) -> list[str]:
 
 def _content_stream(rng: random.Random, lines: list[str],
                     encode_string=_simple_string,
-                    table: dict | None = None) -> bytes:
+                    table: dict | None = None,
+                    y_start: float = 720.0, y_step: float = 16.0,
+                    font_name: bytes = b"F1") -> bytes:
     """Emit text operators for ``lines`` (top-to-bottom reading order) in a
     SHUFFLED order, with a mix of Td / Tm / TD+T* / TJ forms.
     ``encode_string`` serializes one shown string (literal for simple fonts,
@@ -494,11 +536,11 @@ def _content_stream(rng: random.Random, lines: list[str],
     paragraph lines — one positioned run per non-empty cell, shuffled into
     the same emission pool (reading-order sort must reassemble the grid)."""
     chunks: list[bytes] = []
-    y = 720.0
+    y = y_start
     size = 12.0
     for line in lines:
         x = 72.0
-        ops: list[bytes] = [b"BT", b"/F1 %.1f Tf" % size]
+        ops: list[bytes] = [b"BT", b"/" + font_name + b" %.1f Tf" % size]
         style = rng.randrange(4)
         if style == 0:
             ops.append(b"%.2f %.2f Td" % (x, y))
@@ -535,7 +577,7 @@ def _content_stream(rng: random.Random, lines: list[str],
             ops.append(b"[" + arr + b"] TJ")
         ops.append(b"ET")
         chunks.append(b"\n".join(ops))
-        y -= 16.0
+        y -= y_step
     if table is not None:
         ty = y - 8.0
         for row in table["rows"]:
@@ -543,7 +585,7 @@ def _content_stream(rng: random.Random, lines: list[str],
                 if cell is None:
                     continue
                 chunks.append(b"\n".join([
-                    b"BT", b"/F1 11.0 Tf",
+                    b"BT", b"/" + font_name + b" 11.0 Tf",
                     b"1 0 0 1 %.2f %.2f Tm" % (cx, ty),
                     encode_string(cell + " ") + b" Tj", b"ET",
                 ]))
@@ -763,6 +805,10 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     with a NAMED base encoding; show strings are cp1252 / mac_roman bytes
     (hex-serialized).  Pair with ``charset='win'`` so 0x80-0x9F bytes
     actually occur.  No rng draws.
+    ``font='simple-standard'``: /Encoding dictionary with /BaseEncoding
+    /StandardEncoding (the pre-WinAnsi PostScript layout; generator
+    encodes via its own Appendix D transcription _STD_ENCODE).  Pair with
+    ``charset='std'``.  No rng draws.
     ``font='simple-diff'``: /Encoding dictionary with /BaseEncoding
     /WinAnsiEncoding and a /Differences array remapping every non-ASCII
     char to a code from 0x80 (classic AGL names on odd slots, uniXXXX
@@ -1009,6 +1055,15 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
 
         def encode_string(s: str, _c: str = codec) -> bytes:
             return b"<" + s.encode(_c).hex().encode() + b">"
+    elif font == "simple-standard":
+        # simple font with /BaseEncoding /StandardEncoding inside an
+        # /Encoding dict (the pre-WinAnsi PostScript layout); show strings
+        # encoded by the generator's own Appendix D transcription
+        # (_std_encode_string).  No rng draws.
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding << /BaseEncoding /StandardEncoding >> >>")
+        encode_string = _std_encode_string
     elif font == "simple-diff":
         # simple font with /Differences: every non-ASCII char remapped to
         # a code from 0x80 disagreeing with its WinAnsi position, named by

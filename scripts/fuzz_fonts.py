@@ -36,6 +36,7 @@ ROUTES = [
     ("simple-macroman", "win"), ("simple-diff", "ja"), ("simple-tu", "win"),
     ("cid", "latin"), ("cid-fontfile", "latin"), ("cid-ucs2", "zh-hans"),
     ("simple", "latin"), ("cid-cmap", "latin"),
+    ("simple-standard", "std"),
 ]
 
 

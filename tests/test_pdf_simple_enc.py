@@ -45,6 +45,16 @@ _PINNED = [
     ("MacRomanEncoding", 0xD8, "ÿ"), ("MacRomanEncoding", 0xDB, "€"),
 ]
 
+#: StandardEncoding needs the dict form (/BaseEncoding) — pinned
+#: separately.  The 0x27/0x60 quote slots and the ligature/dash region
+#: are where Standard differs most from every Latin-1-ish table.
+_PINNED_STANDARD = [
+    (0x27, "’"), (0x60, "‘"), (0xA9, "'"), (0xC1, "`"),
+    (0xA4, "⁄"), (0xAE, "ﬁ"), (0xAF, "ﬂ"), (0xB1, "–"), (0xD0, "—"),
+    (0xBD, "‰"), (0xE8, "Ł"), (0xFA, "œ"), (0xFB, "ß"),
+    (0xB5, "�"), (0xE0, "�"),  # unassigned slots are notdef
+]
+
 
 def _one_font_pdf(font_obj: bytes, show_hex: bytes) -> bytes:
     """Minimal classic PDF: one page, one show string, the given font."""
@@ -92,12 +102,31 @@ class TestPinnedTables:
             b"93")
         assert parse_pdf(pdf)["pages"][0]["text"] == "\x93"
 
-    def test_standard_encoding_error_routes(self):
+    @pytest.mark.parametrize("byte,expected", _PINNED_STANDARD)
+    def test_standard_encoding_vector(self, byte, expected):
         pdf = _one_font_pdf(
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-            b"/Encoding /StandardEncoding >>", b"41")
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman "
+            b"/Encoding << /BaseEncoding /StandardEncoding >> >>",
+            b"%02x" % byte)
+        assert parse_pdf(pdf)["pages"][0]["text"] == expected
+
+    def test_symbol_builtin_still_error_routes(self):
+        pdf = _one_font_pdf(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol "
+            b"/Encoding /SymbolEncoding >>", b"41")
         with pytest.raises(PdfError):
             parse_pdf(pdf)
+
+    def test_generator_std_encoder_agrees_with_kernel(self):
+        # two independent Appendix-D transcriptions must invert each other
+        from pdf_extractor_spark.kernels.pdf import (
+            _standard_encoding_table,
+        )
+        from pdf_extractor_spark.sources.synth import _STD_ENCODE
+
+        table = _standard_encoding_table()
+        for ch, code in _STD_ENCODE.items():
+            assert table[code] == ch, hex(code)
 
     def test_differences_walk(self):
         # integer resets the code counter; names consume consecutive codes
@@ -147,6 +176,7 @@ class TestEndToEnd:
         ("simple-winansi", "win"), ("simple-macroman", "win"),
         ("simple-diff", "latin"), ("simple-diff", "ja"),
         ("simple-tu", "win"), ("simple-tu", "ja"),
+        ("simple-standard", "std"),
     ])
     @pytest.mark.parametrize("dialect", ["classic", "modern"])
     def test_twin_text_identical(self, font, charset, dialect):
@@ -161,6 +191,18 @@ class TestEndToEnd:
                [p["text"] for p in rc["pages"]]
         assert ru["n_pages"] == rc["n_pages"]
         assert ru["metadata"] == rc["metadata"]
+
+    def test_std_pool_is_expressible_and_nonvacuous(self):
+        from pdf_extractor_spark.sources.synth import (
+            _CJK_POOLS,
+            _std_encode_string,
+        )
+
+        for w in _CJK_POOLS["std"]:
+            _std_encode_string(w)
+            _std_encode_string(w[0].upper() + w[1:])  # _sentence capitalizes
+        # at least one word must exercise the non-ASCII Standard region
+        assert any(ord(c) > 0x7E for w in _CJK_POOLS["std"] for c in w)
 
     def test_win_pool_is_nonvacuous(self):
         # the win charset must actually emit 0x80-0x9F bytes under cp1252
