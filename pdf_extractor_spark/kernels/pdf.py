@@ -1765,7 +1765,17 @@ def _page_fonts(doc: "Document", page: dict) -> dict[str, object]:
     Add-RKSJ-H, EUC-H, which genuinely need Adobe's bundled CID tables)
     — is out of dialect and error-routes via PdfError."""
     res = doc.resolve(page.get(Name("Resources"))) or {}
+    return _fonts_from_resources(doc, res if isinstance(res, dict) else {})
+
+
+def _fonts_from_resources(doc: "Document", res: dict) -> dict[str, object]:
+    """A resolved /Resources dictionary -> {font name: decoder} — shared
+    by pages and Form XObjects (a form's own /Resources scope its fonts,
+    PDF 32000-1 §8.10.3)."""
     fonts = doc.resolve(res.get(Name("Font"))) or {}
+    if not isinstance(fonts, dict):
+        raise PdfError(
+            f"/Font is {type(fonts).__name__}, expected dictionary")
     out: dict[str, object] = {}
     for fname, fref in fonts.items():
         fd = doc.resolve(fref)
@@ -1880,17 +1890,33 @@ def _mat_mul(m1, m2):
     )
 
 
+_MAX_FORM_DEPTH = 16  # bounds Form XObject nesting (self-reference bomb)
+
+
 def _extract_runs(content: bytes,
-                  fonts: dict[str, object] | None = None) -> list[dict]:
+                  fonts: dict[str, object] | None = None,
+                  doc: "Document | None" = None,
+                  resources: dict | None = None,
+                  depth: int = 0,
+                  ctm0: tuple | None = None) -> list[dict]:
     """Interpret text operators; emit runs {x, y, text, size}.
 
     ``fonts`` maps resource font names to decoders (None = simple-font
-    Latin-1 default; a callable = composite-font ToUnicode decode)."""
+    Latin-1 default; a callable = composite-font ToUnicode decode).
+
+    ``doc``/``resources`` enable the ``Do`` operator: a named
+    /Subtype /Form XObject's content stream is interpreted recursively
+    with the form's own /Resources (falling back to the caller's per
+    §8.10.3) and its /Matrix composed onto the current CTM, so form text
+    lands at its final page position before reading-order sort.  Image
+    XObjects named by Do are ignored here (they carry no text; the image
+    sink walks resources separately).  ``ctm0`` is the inherited CTM for
+    a recursive call; nesting is bounded by _MAX_FORM_DEPTH."""
     fonts = fonts or {}
     runs: list[dict] = []
     ts: _TextState | None = None
     operands: list = []
-    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm = ctm0 if ctm0 is not None else (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     ctm_stack: list = []
 
     def decode(b) -> str:
@@ -1931,6 +1957,32 @@ def _extract_runs(content: bytes,
                 ctm = ctm_stack.pop() if ctm_stack else ctm
             elif op == "cm" and len(operands) >= 6:
                 ctm = _mat_mul(tuple(float(v) for v in operands[-6:]), ctm)
+            elif op == "Do" and operands and doc is not None:
+                nm = operands[-1]
+                xobjs = doc.resolve(
+                    (resources or {}).get(Name("XObject")))
+                xo = (doc.resolve(xobjs.get(Name(str(nm))))
+                      if isinstance(xobjs, dict) and isinstance(nm, str)
+                      else None)
+                if (isinstance(xo, Stream) and doc.resolve(
+                        xo.dict.get(Name("Subtype"))) == "Form"):
+                    if depth + 1 >= _MAX_FORM_DEPTH:
+                        raise PdfError("Form XObject nesting too deep")
+                    fres = doc.resolve(xo.dict.get(Name("Resources")))
+                    if isinstance(fres, dict):
+                        sub_fonts = _fonts_from_resources(doc, fres)
+                        sub_res = fres
+                    else:
+                        sub_fonts, sub_res = fonts, resources
+                    mtx = doc.resolve(xo.dict.get(Name("Matrix")))
+                    sub_ctm = ctm
+                    if isinstance(mtx, list) and len(mtx) == 6:
+                        sub_ctm = _mat_mul(
+                            tuple(float(v) for v in mtx), ctm)
+                    runs.extend(_extract_runs(
+                        doc.stream_data(xo), sub_fonts, doc=doc,
+                        resources=sub_res, depth=depth + 1,
+                        ctm0=sub_ctm))
             elif ts is not None:
                 if op == "Tf" and len(operands) >= 2:
                     if isinstance(operands[-2], str):
@@ -2144,16 +2196,36 @@ _IMG_FMT = {"DCTDecode": "jpeg", "JPXDecode": "jp2", "FlateDecode": "raw",
 
 def _page_images(doc: Document, page: dict) -> list[dict]:
     """Walk /Resources /XObject for /Subtype /Image — the xref-walk analogue
-    of image_extractor.py:111-121.  Size filtering (OP-25) stays relational."""
+    of image_extractor.py:111-121 — recursing into /Subtype /Form XObjects
+    so images carried inside a form's own /Resources are found too (depth-
+    and cycle-bounded; round 5, with the Do text support).  Size filtering
+    (OP-25) stays relational."""
     res = doc.resolve(page.get(Name("Resources"))) or {}
-    xobjs = doc.resolve(res.get(Name("XObject"))) or {}
+
+    def walk(res_dict, depth: int, seen: set):
+        xobjs = doc.resolve(res_dict.get(Name("XObject"))) or {}
+        if not isinstance(xobjs, dict):
+            return
+        for name, ref in sorted(xobjs.items()):
+            xo = doc.resolve(ref)
+            if not isinstance(xo, Stream):
+                continue
+            subtype = doc.resolve(xo.dict.get(Name("Subtype")))
+            if subtype == "Form" and depth + 1 < _MAX_FORM_DEPTH:
+                if id(xo) in seen:
+                    continue  # a form cycle must not loop the image walk
+                seen.add(id(xo))
+                fres = doc.resolve(xo.dict.get(Name("Resources")))
+                if isinstance(fres, dict):
+                    yield from walk(fres, depth + 1, seen)
+                continue
+            if subtype == "Image":
+                yield name, xo
+
     images: list[dict] = []
-    for idx, (name, ref) in enumerate(sorted(xobjs.items())):
-        xo = doc.resolve(ref)
-        if not isinstance(xo, Stream):
-            continue
-        if doc.resolve(xo.dict.get(Name("Subtype"))) != "Image":
-            continue
+    if not isinstance(res, dict):
+        return images
+    for idx, (name, xo) in enumerate(walk(res, 0, set())):
         filt = doc.resolve(xo.dict.get(Name("Filter")))
         if isinstance(filt, list):
             filt = filt[-1] if filt else None
@@ -2265,7 +2337,10 @@ def parse_pdf(data: bytes) -> dict:
             for s in streams
             if isinstance(doc.resolve(s), Stream)
         )
-        runs = _extract_runs(buf, _page_fonts(doc, pg))
+        page_res = doc.resolve(pg.get(Name("Resources")))
+        runs = _extract_runs(
+            buf, _page_fonts(doc, pg), doc=doc,
+            resources=page_res if isinstance(page_res, dict) else None)
         lines = _group_lines(runs) if runs else []
         text, blocks = _assemble_from_lines(lines) if lines else ("", [])
         tables_ex = detect_tables_with_cols(lines)

@@ -922,6 +922,94 @@ def q_pdf_simple_enc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_FORM_DOCS = 80
+#: per-doc (font route, charset) for the form gate — forms compose with
+#: both simple and composite fonts
+_FORM_ROUTES = (
+    ("simple", "latin"), ("cid-ucs2", "ja"), ("simple-winansi", "win"),
+    ("cid-mixed", "ja"), ("cid", "latin"),
+)
+_FORM_TOTAL_PAGES = 216  # generator spec: sum of planned page counts
+                        # (derive_kind_expectations.form_total_pages)
+
+
+@query(
+    "q_pdf_form",
+    # Structural (non-circular) oracle: the SAME document (same seed, so
+    # identical text — the page paragraphs are drawn before serialization
+    # diverges) serialized flat and with every page's odd-indexed lines
+    # inside a /Subtype /Form XObject (rendered 500 units low, /Matrix
+    # translating back, fonts scoped to the FORM's own /Resources) must
+    # parse to byte-identical text; reading order is only correct if the
+    # kernel executes Do AND composes the Matrix AND scopes resources.
+    # n_img_match counts docs where every serialized /Subtype /Image
+    # surfaced through the recursive image walk (forms hold the images).
+    f"""
+    SELECT CAST({_N_FORM_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_FORM_DOCS} AS BIGINT) AS n_text_match,
+           CAST({_N_FORM_DOCS} AS BIGINT) AS n_img_match,
+           CAST({_FORM_TOTAL_PAGES} AS BIGINT) AS total_pages
+    """,
+)
+def q_pdf_form(spark: SparkSession, sf: str) -> DataFrame:
+    """Form-XObject gate (PDF 32000-1 §8.10 — real pages carry much of
+    their text inside /Subtype /Form XObjects; until round 5 the kernel
+    ignored Do, silently dropping that text; the reference reads it via
+    MuPDF's display list, text_extractor.py:51-53): serialize 80
+    documents flat AND form-wrapped over both xref dialects and five
+    font routes, parse both with the kernel (kernels/pdf.py _extract_runs
+    Do handling + the recursive _page_images walk), and require text/
+    metadata/page equality plus the all-images-found proof per document
+    plus the generator-spec page total."""
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.pdf import parse_pdf
+    from ..sources.synth import make_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, imgm, npages = [], [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                font, charset = _FORM_ROUTES[doc_id % len(_FORM_ROUTES)]
+                dialect = "modern" if doc_id % 2 else "classic"
+                ru = parse_pdf(make_pdf(
+                    _random.Random(f"form-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font=font, charset=charset)[0])
+                wrapped = make_pdf(
+                    _random.Random(f"form-gate:{doc_id}"), doc_id,
+                    dialect=dialect, font=font, charset=charset,
+                    wrap_form=True)[0]
+                rf = parse_pdf(wrapped)
+                same = (
+                    [p["text"] for p in ru["pages"]]
+                    == [p["text"] for p in rf["pages"]]
+                    and ru["metadata"] == rf["metadata"]
+                    and ru["n_pages"] == rf["n_pages"]
+                )
+                n_found = sum(len(p["images"]) for p in rf["pages"])
+                match.append(1 if same else 0)
+                imgm.append(
+                    1 if n_found == wrapped.count(b"/Subtype /Image")
+                    else 0)
+                npages.append(rf["n_pages"])
+            yield pd.DataFrame({"m": match, "g": imgm, "p": npages})
+
+    per_doc = (
+        spark.range(0, _N_FORM_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, g int, p int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_text_match"),
+        F.sum("g").cast("long").alias("n_img_match"),
+        F.sum("p").cast("long").alias("total_pages"),
+    )
+
+
 _N_MERGE_DOCS = 50
 _MERGE_TOTAL = 75  # generator spec: expected merged-table total
                    # (scripts/derive_kind_expectations.table_merge_totals)

@@ -161,6 +161,11 @@ def _tounicode_cmap(assign: dict[str, int]) -> bytes:
 #: actually applying the embedded /Encoding CMap's code->CID mapping.
 CID_CMAP_CODE_OFFSET = 0x2100
 
+#: Form-XObject route: vertical displacement the form's /Matrix undoes.
+#: Form-held lines are emitted 500 units BELOW their final position, so
+#: the page reads correctly only if the parser composes the Matrix.
+_FORM_DY = 500.0
+
 #: Predefined national-encoding / UTF-16 CMap font routes:
 #: font value -> (/Encoding CMap name, codec the show-string bytes are
 #: written in, CID collection Ordering, Supplement).  The writer encodes
@@ -744,6 +749,7 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
              page_links: list[list[str]] | None = None,
              image_coding: str | None = None,
              charset: str = "latin",
+             wrap_form: bool = False,
              ) -> tuple[bytes, list[list[str]]]:
     """Return (pdf_bytes, per-page expected reading-order lines).
 
@@ -816,6 +822,15 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     ``font='simple-tu'``: a simple font whose only text mapping is a
     1-byte /ToUnicode CMap with scrambled sequential codes
     (_simple_tounicode_cmap).  No rng draws.
+
+    ``wrap_form``: serialize every page's odd-indexed lines inside a
+    /Subtype /Form XObject (rendered _FORM_DY below final position,
+    /Matrix translating back, /F2 font and the page's images scoped to
+    the FORM's own /Resources) invoked by ``q /Fm0 Do Q`` from the page
+    content.  Text equals the unwrapped twin ONLY if the parser executes
+    Do, composes the Matrix, and scopes resources; rng draws diverge
+    after the text is drawn, so only TEXT is twin-comparable (image
+    payloads differ by construction).
 
     ``charset``: 'latin' (default — byte-identical rng draws to the
     pre-charset generator) or a _CJK_POOLS key ('ja'/'zh-hans'/'zh-hant'/
@@ -1113,7 +1128,22 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
     kid_ids: list[int] = []
     for pg_i, lines in enumerate(page_paras):
         spec = page_tables[pg_i] if page_tables is not None else None
-        content = _content_stream(rng, lines, encode_string, table=spec)
+        if wrap_form:
+            # odd-indexed lines live INSIDE a Form XObject, rendered 500
+            # units lower and translated back by the form /Matrix — their
+            # final positions interleave with the direct lines, so the
+            # reading order is only correct if the parser both executes
+            # Do and composes the Matrix.  The form's text uses /F2 from
+            # the FORM's own /Resources (scoping proof).
+            form_text = _content_stream(
+                rng, lines[1::2], encode_string,
+                y_start=720.0 - 16.0 - _FORM_DY, y_step=32.0,
+                font_name=b"F2")
+            content = _content_stream(
+                rng, lines[0::2], encode_string, table=spec,
+                y_start=720.0, y_step=32.0) + b"\nq /Fm0 Do Q\n"
+        else:
+            content = _content_stream(rng, lines, encode_string, table=spec)
         if enc_rng is None:
             fdict, data = b"/Filter /FlateDecode", zlib.compress(content, 6)
         else:
@@ -1127,9 +1157,9 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
         )
         stream_ids.add(cont_id)
         xobj_entries = b""
+        parts: list[bytes] = []
         if with_images and rng.random() < 0.6:
             n_imgs = rng.randint(1, 2)
-            parts = []
             for k in range(n_imgs):
                 # every other image is sub-50x50 → dropped by OP-25 filter
                 if rng.random() < 0.5:
@@ -1214,6 +1244,24 @@ def make_pdf(rng: random.Random, doc_id: int, n_pages: int | None = None,
                 stream_ids.add(img_id)
                 parts.append(b"/Im%d %d 0 R" % (k, img_id))
             xobj_entries = b" /XObject << " + b" ".join(parts) + b" >>"
+        if wrap_form:
+            # images (if any) move INTO the form's resources — the image
+            # walk must recurse into /Subtype /Form to find them
+            form_id = next_id
+            next_id += 1
+            form_imgs = (b" /XObject << " + b" ".join(parts) + b" >>"
+                         if parts else b"")
+            fz = stream_enc(form_id, zlib.compress(form_text, 6))
+            objs[form_id] = (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 -800 612 792] "
+                b"/Matrix [1 0 0 1 0 %.1f]" % _FORM_DY
+                + b" /Resources << /Font << /F2 %d 0 R >>" % font_id
+                + form_imgs
+                + b" >> /Filter /FlateDecode /Length %d >>\nstream\n"
+                % len(fz) + fz + b"\nendstream"
+            )
+            stream_ids.add(form_id)
+            xobj_entries = b" /XObject << /Fm0 %d 0 R >>" % form_id
         annots_entry = b""
         if page_links is not None and page_links[pg_i]:
             annot_ids = []
@@ -1502,6 +1550,12 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
             dialect="modern" if doc_id % 2 else "classic",
             font=font,
             encrypt="rc4-128" if doc_id % 16 == 5 else None,
+            # round 5: a share of pages carry their odd-indexed lines
+            # inside a Form XObject (slot 6 composite, slot 9 simple) —
+            # TEXT goldens unchanged (drawn before serialization
+            # diverges); image payloads for these docs differ, which the
+            # golden regeneration captures
+            wrap_form=doc_id % 16 in (6, 9),
         )
         n_pages = len(page_lines)
     else:

@@ -127,6 +127,11 @@ AUDITS = [
              "MacRoman base tables, /Differences AGL names, 1-byte "
              "ToUnicode vs the certified UCS2 route); single final-agg "
              "exchange"}),
+    ("q_pdf_form", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only Form-XObject gate (Do execution + "
+             "/Matrix composition + resource scoping + recursive "
+             "image walk vs the flat twin); single final-agg "
+             "exchange"}),
     ("q_ccitt", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 5: map-only CCITT G4/G3-1D twin gate (Flate-gray vs CCITT pixel identity); single final-agg exchange"}),
     ("q_table_merge", {"arrow_python": True,

@@ -157,6 +157,21 @@ def simple_enc_total_pages(n_docs: int = 80) -> int:
     return total
 
 
+def form_total_pages(n_docs: int = 80) -> int:
+    """Planned page total of the q_pdf_form fixture set."""
+    from pdf_extractor_spark.operators.pipeline_queries import _FORM_ROUTES
+
+    total = 0
+    for doc_id in range(n_docs):
+        font, charset = _FORM_ROUTES[doc_id % len(_FORM_ROUTES)]
+        rng = random.Random(f"form-gate:{doc_id}")
+        _, lines = make_pdf(rng, doc_id, font=font, charset=charset,
+                            wrap_form=True,
+                            dialect="modern" if doc_id % 2 else "classic")
+        total += len(lines)
+    return total
+
+
 def ccitt_total_pages(n_docs: int = 60) -> int:
     """Planned page total of the q_ccitt fixture set (page plan is
     image-coding-invariant — same rng draw sequence either way)."""
@@ -247,6 +262,7 @@ if __name__ == "__main__":
     print(f"q_pdf_mixed_cmap total_pages: {mixed_cmap_total_pages()}")
     print(f"q_pdf_usecmap total_pages: {usecmap_total_pages()}")
     print(f"q_pdf_simple_enc total_pages: {simple_enc_total_pages()}")
+    print(f"q_pdf_form total_pages: {form_total_pages()}")
     print(f"q_ccitt total_pages: {ccitt_total_pages()}")
     print(f"q_table_merge total_merged: {table_merge_totals()}")
     print(f"q_pdf_encrypted total_pages: {crypt_total_pages()}")

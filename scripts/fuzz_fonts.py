@@ -39,6 +39,9 @@ ROUTES = [
     ("simple-standard", "std"),
 ]
 
+#: a share of fuzz docs additionally wrap their pages in Form XObjects
+WRAP_FORM_SHARE = 3  # every 3rd route index
+
 
 def mutations(pdf: bytes, other: bytes, rng: random.Random,
               n_splice: int, n_flip: int) -> list[bytes]:
@@ -76,7 +79,8 @@ def main() -> int:
                     pdf, _ = make_pdf(
                         random.Random(f"fuzz:{seed}:{font}:{dialect}:{enc}"),
                         i, dialect=dialect, font=font, charset=cs,
-                        encrypt=enc)
+                        encrypt=enc,
+                        wrap_form=(i % WRAP_FORM_SHARE == 0))
                     other, _ = make_pdf(
                         random.Random(f"fuzzb:{seed}:{i}"), i + 1,
                         dialect=dialect, font="simple")
