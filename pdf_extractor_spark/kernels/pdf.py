@@ -716,6 +716,12 @@ class Document:
         ids = self.resolve(self.trailer.get(Name("ID"))) or []
         id0 = ids[0] if ids and isinstance(ids[0], bytes) else b""
         n = 5 if r == 2 else length // 8
+        if not 5 <= n <= 16:
+            # a corrupted /Length (e.g. 0 or negative) would derive an
+            # empty RC4 key and crash the keystream's modulo — /Length
+            # must be 40-128 bits per the standard handler (round-5 fuzz
+            # finding)
+            raise PdfError(f"encryption key length {length} out of range")
         # Algorithm 2 with an EMPTY user password
         m = hashlib.md5()
         m.update(self._PAD)

@@ -633,3 +633,21 @@ def test_round5_fuzz_findings_error_route():
         parse_pdf(bad_content)
     except PdfError:
         pass  # either outcome is contract-conforming; no other exception
+
+
+def test_fuzz_finding_zero_length_encryption_key():
+    """A corrupted /Length of 0 must error-route, not ZeroDivisionError in
+    the RC4 keystream (round-5 full-campaign fuzz finding)."""
+    import random
+
+    import pytest
+
+    from pdf_extractor_spark.kernels.pdf import PdfError, parse_pdf
+    from pdf_extractor_spark.sources.synth import make_pdf
+
+    pdf, _ = make_pdf(random.Random("zk:1"), 1, dialect="classic",
+                      encrypt="rc4-128")
+    assert b"/Length 128" in pdf
+    bad = pdf.replace(b"/Length 128", b"/Length 000")
+    with pytest.raises(PdfError):
+        parse_pdf(bad)
