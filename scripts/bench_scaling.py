@@ -53,7 +53,7 @@ RUNS_PER_CHILD = int(os.environ.get("SPARK_SCALE_RUNS", "2"))
 # v7: round-5 generator content (adds CCITT bilevel image payloads and the
 # embedded-CMap / FontFile2 / UCS2 font shares — the tag invalidates stale
 # staged corpora)
-CORPUS = f"/tmp/scale_corpus_v8_{N_DOCS}"
+CORPUS = f"/tmp/scale_corpus_v10_{N_DOCS}"
 OUT = "/tmp/scale_out"
 SIZES = [4, 8, 16]  # N, 2N, 4N
 
