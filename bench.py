@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_pdf_usecmap",       # /UseCMap base-composition gate (round 5)
     "q_pdf_simple_enc",    # WinAnsi/MacRoman/Differences/ToUnicode gate (r5)
     "q_pdf_form",          # Form-XObject Do/Matrix/scoping gate (round 5)
+    "q_gzip_transparent",  # bounded transparent-gunzip twin gate (r5)
 ]
 
 # Extraction throughput corpus size (docs) per bench run.
@@ -144,14 +145,14 @@ def main() -> None:
     #    its input) — otherwise the generator's Python workers and the
     #    kernel's Python workers time-share the same cores and the timing
     #    measures contention, not extraction.
-    # v10: round-5 corpus — v7 (CCITT bilevel payloads, embedded-CMap /
+    # v11: round-5 corpus — v7 (CCITT bilevel payloads, embedded-CMap /
     # FontFile2 / UCS2 composite-font shares) plus the predefined-UTF16 /
     # mixed-width embedded-CMap shares (v8) and the simple-font encoding
     # shares (WinAnsi / Differences / 1-byte ToUnicode, v9) and the
-    # Form-XObject share — the version tag
+    # Form-XObject share and the transparent-gzip share — the version tag
     # invalidates any stale staged corpus (text goldens are unchanged;
     # payload bytes are not)
-    corpus_path = f"/tmp/bench_corpus_v10_{N_EXTRACT}"
+    corpus_path = f"/tmp/bench_corpus_v11_{N_EXTRACT}"
     t0 = time.time()
     if not os.path.exists(f"{corpus_path}/_SUCCESS"):
         corpus_df(spark, N_EXTRACT, parts=CPUS * 2).write.mode("overwrite").parquet(

@@ -96,8 +96,46 @@ def _unify_image(img: dict) -> dict:
     }
 
 
+#: Transparent-gunzip output cap: one hostile member must never OOM an
+#: executor (same discipline as the PDF stream decoders).
+_MAX_GUNZIP_BYTES = 1 << 26  # 64 MiB
+
+
+def _gunzip_bounded(payload: bytes) -> bytes:
+    """Bounded transparent gunzip of a \\x1f\\x8b\\x08 payload.  Real crawl
+    tables carry occasional double-compressed bodies (a Content-Encoding
+    survivor the WARC writer stored verbatim); treating them as 'raw'
+    would emit binary soup as content — silent wrong output.  Truncated
+    or oversized members raise ValueError (-> error side-channel)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = d.decompress(payload, _MAX_GUNZIP_BYTES)
+    if d.unconsumed_tail:
+        raise ValueError(
+            f"gzip member exceeds {_MAX_GUNZIP_BYTES} bytes decompressed")
+    if not d.eof:
+        raise ValueError("truncated gzip member")
+    return out
+
+
 def extract_document(payload: bytes) -> dict:
-    """Single-pass extraction: bytes -> unified result tree."""
+    """Single-pass extraction: bytes -> unified result tree.
+
+    A gzip-wrapped payload (magic 1f 8b 08) is transparently,
+    boundedly decompressed first (up to 3 nested members — proxies
+    occasionally double-wrap); the result reports the INNER kind."""
+    for _ in range(3):
+        if payload[:3] != b"\x1f\x8b\x08":
+            break
+        try:
+            payload = _gunzip_bounded(payload)
+        except Exception as e:
+            return {
+                "kind": "raw", "status": "error",
+                "error": f"gzip: {e}", "title": "",
+                "n_pages": 0, "pages": [], "metadata": {},
+            }
     kind = sniff_kind(payload)
     try:
         if kind == "pdf":

@@ -1010,6 +1010,74 @@ def q_pdf_form(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_N_GZIP_DOCS = 60
+
+
+@query(
+    "q_gzip_transparent",
+    # Structural (non-circular) oracle: extracting a payload and
+    # extracting its gzip-wrapped bytes (mtime=0) must produce the
+    # IDENTICAL full result tree — same kind, status, pages, text,
+    # blocks, images — across all three payload kinds and both PDF
+    # dialects.  n_kind_ok additionally proves the reported kind is the
+    # INNER kind (a 'raw' leak would mean binary soup shipped as text).
+    f"""
+    SELECT CAST({_N_GZIP_DOCS} AS BIGINT) AS n_docs,
+           CAST({_N_GZIP_DOCS} AS BIGINT) AS n_match,
+           CAST({_N_GZIP_DOCS} AS BIGINT) AS n_kind_ok
+    """,
+)
+def q_gzip_transparent(spark: SparkSession, sf: str) -> DataFrame:
+    """Transparent-gunzip gate (real crawl tables carry double-compressed
+    bodies — Content-Encoding survivors stored verbatim; treating them as
+    raw text would emit binary soup as content, silent wrong output):
+    extract 60 payloads (pdf/html/raw thirds, both PDF dialects) plain
+    AND gzip-wrapped, and require full result-tree equality plus
+    inner-kind correctness per document (kernels/dispatch.py
+    _gunzip_bounded, 64 MiB bomb cap, <=3 nested members)."""
+    import gzip as _gzip
+    import random as _random
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels.dispatch import extract_document
+    from ..sources.synth import make_html, make_pdf, make_raw
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            match, kind_ok = [], []
+            for i in pdf["id"]:
+                doc_id = int(i)
+                kind = ("pdf", "html", "raw")[doc_id % 3]
+                rng = _random.Random(f"gzip-gate:{doc_id}")
+                if kind == "pdf":
+                    payload = make_pdf(
+                        rng, doc_id,
+                        dialect="modern" if doc_id % 2 else "classic")[0]
+                elif kind == "html":
+                    payload = make_html(rng, doc_id, "en")
+                else:
+                    payload = make_raw(rng, doc_id)
+                rp = extract_document(payload)
+                rg = extract_document(_gzip.compress(payload, 6, mtime=0))
+                match.append(1 if rp == rg else 0)
+                kind_ok.append(
+                    1 if rg["kind"] == kind and rg["status"] == "ok"
+                    else 0)
+            yield pd.DataFrame({"m": match, "k": kind_ok})
+
+    per_doc = (
+        spark.range(0, _N_GZIP_DOCS, numPartitions=8)
+        .mapInPandas(run, schema="m int, k int")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("m").cast("long").alias("n_match"),
+        F.sum("k").cast("long").alias("n_kind_ok"),
+    )
+
+
 _N_MERGE_DOCS = 50
 _MERGE_TOTAL = 75  # generator spec: expected merged-table total
                    # (scripts/derive_kind_expectations.table_merge_totals)

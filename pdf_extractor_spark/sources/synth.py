@@ -1561,6 +1561,15 @@ def gen_doc(doc_id: int, seed: int = 42, host_skew: float = 0.3,
     else:
         kind = "raw"
         payload = make_raw(rng, doc_id)
+    if doc_id % 32 == 14:
+        # round 5: a double-compressed share (a Content-Encoding survivor
+        # stored verbatim — real crawl tables carry these).  Wrapped AFTER
+        # all draws with mtime=0, so extraction results are byte-identical
+        # to the unwrapped payload and ALL goldens are unchanged; only the
+        # stored payload bytes differ.
+        import gzip as _gzip
+
+        payload = _gzip.compress(payload, 6, mtime=0)
     row = {
         "url": f"https://{host}/{lang}/{kind}/{doc_id:08d}",
         "warc_ts": _BASE_TS + _dt.timedelta(seconds=doc_id * 37),

@@ -132,6 +132,10 @@ AUDITS = [
              "/Matrix composition + resource scoping + recursive "
              "image walk vs the flat twin); single final-agg "
              "exchange"}),
+    ("q_gzip_transparent", {"arrow_python": True, "max_exchanges": 1,
+     "note": "round 5: map-only transparent-gunzip twin gate (full "
+             "result-tree equality across kinds, 64 MiB bomb cap); "
+             "single final-agg exchange"}),
     ("q_ccitt", {"arrow_python": True, "max_exchanges": 1,
      "note": "round 5: map-only CCITT G4/G3-1D twin gate (Flate-gray vs CCITT pixel identity); single final-agg exchange"}),
     ("q_table_merge", {"arrow_python": True,
