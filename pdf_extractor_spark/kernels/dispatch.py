@@ -26,7 +26,13 @@ _BOMS = (b"\xef\xbb\xbf", b"\xff\xfe", b"\xfe\xff", b"\xff\xfe\x00\x00", b"\x00\
 
 
 def sniff_kind(payload: bytes) -> str:
-    """Magic-byte content-type detection: 'pdf' | 'html' | 'raw'."""
+    """Magic-byte content-type detection: 'pdf' | 'html' | 'raw'.
+
+    A %PDF- header ANYWHERE in the first 1 KiB counts as PDF — crawled
+    PDFs frequently carry glued preamble junk (HTTP header fragments,
+    chunked-encoding residue); viewers and MuPDF scan for the header the
+    same way.  extract_document slices the preamble off before parsing
+    (xref offsets are relative to the header in such files)."""
     if payload.startswith(b"%PDF-"):
         return "pdf"
     head = payload[:256]
@@ -40,7 +46,10 @@ def sniff_kind(payload: bytes) -> str:
     if low.startswith((b"<!doctype", b"<html", b"<head", b"<body")) or (
         low.startswith(b"<") and b">" in low
     ):
-        return "html"
+        return "html"  # checked BEFORE the preamble scan: an HTML page
+        # whose text mentions %PDF- must stay HTML
+    if b"%PDF-" in payload[:1024]:
+        return "pdf"
     return "raw"
 
 
@@ -139,6 +148,10 @@ def extract_document(payload: bytes) -> dict:
     kind = sniff_kind(payload)
     try:
         if kind == "pdf":
+            if not payload.startswith(b"%PDF-"):
+                # glued preamble junk before the header: offsets in such
+                # files are relative to the header (sniff_kind docstring)
+                payload = payload[payload.index(b"%PDF-"):]
             r = pdf.parse_pdf(payload)
             pages = [
                 _page(

@@ -71,3 +71,35 @@ class TestTransparentGunzip:
             assert r == rg
             hit = True
         assert hit
+
+
+class TestPdfPreamble:
+    """%PDF- headers behind glued preamble junk (HTTP fragments, chunked
+    residue) — crawled PDFs carry these; MuPDF scans for the header."""
+
+    def test_glued_http_preamble(self):
+        pdf, _ = make_pdf(random.Random("pre:1"), 1)
+        glued = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf"
+                 b"\r\n\r\n" + pdf)
+        r1, r2 = extract_document(pdf), extract_document(glued)
+        assert r2["kind"] == "pdf" and r2["status"] == "ok"
+        assert [p["text"] for p in r1["pages"]] == \
+               [p["text"] for p in r2["pages"]]
+
+    def test_html_mentioning_pdf_magic_stays_html(self):
+        html = (b'<html><body><article><h1>T</h1><p>article about the '
+                b'%PDF- magic header with plenty of words in this body'
+                b'</p></article></body></html>')
+        assert extract_document(html)["kind"] == "html"
+
+    def test_deep_magic_not_sniffed(self):
+        # the scan window is 1 KiB: %PDF- beyond it stays raw
+        r = extract_document(b"\x00" * 2000 + b"%PDF-1.4")
+        assert r["kind"] == "raw"
+
+    def test_gzip_wrapped_glued_pdf(self):
+        import gzip as _g
+        pdf, _ = make_pdf(random.Random("pre:2"), 2)
+        payload = _g.compress(b"junk-preamble\r\n" + pdf, mtime=0)
+        r = extract_document(payload)
+        assert r["kind"] == "pdf" and r["status"] == "ok"
